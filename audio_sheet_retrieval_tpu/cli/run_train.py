@@ -1,0 +1,95 @@
+"""Train a cross-modality retrieval model.
+
+CLI parity with reference:run_train.py:51-118 (flags --model --data --resume
+--seed --no_dump --show_architecture --train_split --config), artifact
+conventions EXP_ROOT/<model>/params_<tag>.pkl + results_<tag>.pkl.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+
+from audio_sheet_retrieval_tpu import config as cfg_mod
+from audio_sheet_retrieval_tpu.data.iterators import (
+    MultiviewPoolIteratorUnsupervised,
+)
+from audio_sheet_retrieval_tpu.data.msmd import select_data
+from audio_sheet_retrieval_tpu.models import cca_model, get_model_config
+from audio_sheet_retrieval_tpu.retrieval.wrapper import load_any_checkpoint
+from audio_sheet_retrieval_tpu.train import engine
+from audio_sheet_retrieval_tpu.utils.logging import print_architecture
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="Train cross-modality retrieval model.")
+    parser.add_argument("--model", help="model to train (registry name).",
+                        default="mutopia_ccal_cont_rsz")
+    parser.add_argument("--data", help="data source: mutopia | synthetic | npz:<dir>",
+                        default="mutopia")
+    parser.add_argument("--resume", help="resume on pre-trained model.",
+                        action="store_true")
+    parser.add_argument("--seed", type=int, default=23)
+    parser.add_argument("--no_dump", help="do not dump model file.",
+                        action="store_true")
+    parser.add_argument("--show_architecture", action="store_true")
+    parser.add_argument("--train_split", type=str, default=None)
+    parser.add_argument("--config", type=str, default=None)
+    parser.add_argument("--max_epochs", type=int, default=None,
+                        help="override the model's epoch budget")
+    parser.add_argument("--exp_root", type=str, default=None)
+    return parser
+
+
+def main(argv=None):
+    args = build_arg_parser().parse_args(argv)
+
+    model_cfg = get_model_config(args.model)
+    if args.max_epochs is not None:
+        import dataclasses
+
+        model_cfg = dataclasses.replace(model_cfg, max_epochs=args.max_epochs)
+
+    print("\nLoading data...")
+    data = select_data(args.data, args.train_split, args.config, args.seed)
+
+    tag = cfg_mod.compile_tag(args.train_split, args.config)
+    print("Experimental Tag:", tag)
+
+    exp_root = args.exp_root or cfg_mod.EXP_ROOT
+    out_path = os.path.join(exp_root, model_cfg.name)
+    dump_file = "params.pkl" if tag is None else "params_%s.pkl" % tag
+    dump_file = os.path.join(out_path, dump_file)
+    log_file = "results.pkl" if tag is None else "results_%s.pkl" % tag
+    log_file = os.path.join(out_path, log_file)
+
+    print("\nBuilding network...")
+    params = cca_model.init_model(jax.random.PRNGKey(args.seed), model_cfg)
+    if args.show_architecture:
+        print_architecture(params, model_cfg.name)
+
+    if args.resume:
+        print("Loading model parameters from:", dump_file)
+        params = load_any_checkpoint(dump_file, model_cfg)
+
+    train_batch_iter = MultiviewPoolIteratorUnsupervised(
+        batch_size=model_cfg.batch_size, k_samples=model_cfg.k_samples)
+    valid_batch_iter = MultiviewPoolIteratorUnsupervised(
+        batch_size=model_cfg.batch_size, shuffle=False)
+
+    best_params, best_map = engine.fit(
+        params, data, model_cfg, train_batch_iter, valid_batch_iter,
+        out_path=out_path,
+        dump_file=None if args.no_dump else dump_file,
+        log_file=log_file,
+        exp_name=model_cfg.name,
+    )
+    print("Best validation MAP: %.2f" % (100 * best_map))
+    return best_params, best_map
+
+
+if __name__ == "__main__":
+    main()

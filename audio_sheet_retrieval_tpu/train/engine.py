@@ -1,0 +1,343 @@
+"""Training engine: jitted train step + the reference's fit/refinement loop.
+
+Control-flow parity with reference:utils/train_dcca_pool.py:
+  * per-epoch train over ``k_samples`` sub-epochs through a threaded prefetch
+    generator (:193-232),
+  * per-epoch embedding of <=1000 train + valid samples, optional offline CCA
+    refit (fit_cca), retrieval evaluation (:234-299),
+  * early stopping on ``map_va >= prev_map_va`` with best-model snapshot and
+    params dump on improvement (:391-401),
+  * NaN-loss abort (:410-411),
+  * refinement schedule: on patience exhaustion reload best weights AND best
+    optimizer state, lr *= lr_multiplier, patience = refinement_patience,
+    repeat ``refinement_steps`` times (:492-520),
+  * per-epoch results.pkl curve log (:477-489).
+
+TPU-first deviations: the whole update (both encoders + CCA whitening/eigh +
+ranking loss + Adam) is ONE jitted XLA computation; the view-1 'prepare'
+normalization/half-resize runs on device inside the step (the reference did
+cv2 resizes on the host per batch, models/mutopia_ccal_cont_rsz.py:179-185);
+multi-chip data parallelism comes from donating batch shards under a Mesh —
+XLA inserts the psum for the global CCA batch statistics automatically.
+"""
+
+from __future__ import annotations
+
+import copy
+import os
+import sys
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from audio_sheet_retrieval_tpu.data.iterators import (
+    threaded_generator_from_iterator,
+)
+from audio_sheet_retrieval_tpu.models import cca_model
+from audio_sheet_retrieval_tpu.models.cca_model import ModelParams
+from audio_sheet_retrieval_tpu.models.configs import ModelConfig
+from audio_sheet_retrieval_tpu.ops import cca as cca_ops
+from audio_sheet_retrieval_tpu.ops import losses
+from audio_sheet_retrieval_tpu.ops.metrics import eval_retrieval
+from audio_sheet_retrieval_tpu.train import state as ts
+from audio_sheet_retrieval_tpu.utils import io as uio
+from audio_sheet_retrieval_tpu.utils.logging import BColors
+
+col = BColors()
+
+
+# --- device-side input preparation -------------------------------------------
+
+
+def prepare_view1_device(x1: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
+    """[B,1,H,W] raw-range sheet batch -> [B,H',W',1] normalized NHWC.
+
+    Mirrors model.prepare (x/255 + optional half bilinear resize,
+    reference mutopia_ccal_cont_rsz.py:170-190) on device.
+    """
+    x = jnp.transpose(x1, (0, 2, 3, 1)) * (1.0 / 255.0)
+    if cfg.sheet_downscale > 1:
+        b, h, w, c = x.shape
+        x = jax.image.resize(
+            x, (b, h // cfg.sheet_downscale, w // cfg.sheet_downscale, c),
+            method="bilinear", antialias=False)
+    return x
+
+
+def prepare_view2_device(x2: jnp.ndarray) -> jnp.ndarray:
+    """[B,1,bins,frames] spectrogram batch -> NHWC (no normalization;
+    the log-filterbank output is fed as-is, like the reference)."""
+    return jnp.transpose(x2, (0, 2, 3, 1))
+
+
+# --- jitted steps -------------------------------------------------------------
+
+
+def make_train_step(cfg: ModelConfig, optimizer: optax.GradientTransformation):
+    loss_weight = 1.0 - cfg.weight_tno
+
+    @jax.jit
+    def train_step(state: ts.TrainState, x1, x2):
+        x1p = prepare_view1_device(x1, cfg)
+        x2p = prepare_view2_device(x2)
+
+        def loss_fn(trainable):
+            params = ts.merge_params(trainable, state.non_trainable, cfg)
+            lv1, lv2, new_params, corr = cca_model.forward_train(
+                params, x1p, x2p, cfg)
+            obj = losses.contrastive_cos_loss(
+                lv1, lv2, weight=loss_weight, gamma=cfg.gamma)
+            # CCALayer corr loss: -mean(sqrt(clip(E1)))*wl (lasagne cca.py:163)
+            obj = obj - jnp.mean(corr) * cfg.weight_tno
+            if cfg.l2:
+                obj = obj + cfg.l2 * ts.l2_penalty(trainable)
+            if cfg.l1:
+                obj = obj + cfg.l1 * ts.l1_penalty(trainable)
+            return obj, (new_params, corr)
+
+        (loss, (new_params, corr)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.trainable)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.trainable)
+        new_trainable = optax.apply_updates(state.trainable, updates)
+        _, new_non_trainable = ts.split_params(new_params, cfg)
+        new_state = ts.TrainState(new_trainable, new_non_trainable, opt_state,
+                                  state.step + 1)
+        return new_state, {"loss": loss, "corr": corr}
+
+    return train_step
+
+
+def make_eval_fns(cfg: ModelConfig):
+    @jax.jit
+    def embed_pair(params: ModelParams, x1, x2):
+        lv1 = cca_model.embed_view1(params, prepare_view1_device(x1, cfg), cfg)
+        lv2 = cca_model.embed_view2(params, prepare_view2_device(x2), cfg)
+        return lv1, lv2
+
+    @jax.jit
+    def valid_loss(params: ModelParams, x1, x2):
+        lv1, lv2 = embed_pair(params, x1, x2)
+        return losses.contrastive_cos_loss(
+            lv1, lv2, weight=1.0 - cfg.weight_tno, gamma=cfg.gamma), lv1, lv2
+
+    @jax.jit
+    def init_cca_step(state: ts.TrainState, x1, x2):
+        """CCA running-stat burn-in without gradient updates (pretrain,
+        reference train_dcca_pool.py:170-182)."""
+        params = ts.merge_params(state.trainable, state.non_trainable, cfg)
+        _, _, new_params, _ = cca_model.forward_train(
+            params, prepare_view1_device(x1, cfg), prepare_view2_device(x2),
+            cfg)
+        _, new_non_trainable = ts.split_params(new_params, cfg)
+        return state._replace(non_trainable=new_non_trainable)
+
+    return embed_pair, valid_loss, init_cca_step
+
+
+# --- fit ----------------------------------------------------------------------
+
+
+def fit(
+    params: ModelParams,
+    data: Dict,
+    cfg: ModelConfig,
+    train_batch_iter,
+    valid_batch_iter,
+    *,
+    out_path: str,
+    dump_file: Optional[str] = None,
+    log_file: Optional[str] = None,
+    num_epochs: Optional[int] = None,
+    exp_name: str = "ff",
+    verbose: bool = True,
+    on_epoch: Optional[Callable[[dict], None]] = None,
+) -> tuple[ModelParams, float]:
+    """Train with early stopping + refinement restarts; returns
+    (best params, best validation MRR)."""
+    os.makedirs(out_path, exist_ok=True)
+    if log_file is None:
+        log_file = os.path.join(out_path, "results.pkl")
+    num_epochs = num_epochs or cfg.max_epochs
+
+    optimizer = ts.make_optimizer(cfg.ini_learning_rate)
+    state = ts.init_train_state(params, cfg, optimizer)
+    train_step = make_train_step(cfg, optimizer)
+    embed_pair, valid_loss_fn, init_cca_step = make_eval_fns(cfg)
+
+    def say(msg, color=None):
+        if verbose:
+            print(col.print_colored(msg, color) if color else msg)
+
+    say("Running Test Case: " + exp_name, BColors.UNDERLINE)
+
+    # CCA burn-in epochs (pretrain, reference :170-182)
+    for _ in range(cfg.pretrain_epochs):
+        for x1, x2 in threaded_generator_from_iterator(
+                train_batch_iter(data["train"])):
+            state = init_cca_step(state, jnp.asarray(x1), jnp.asarray(x2))
+
+    patience = cfg.patience
+    refinement_steps = cfg.refinement_steps
+    learn_rate = cfg.ini_learning_rate
+    last_improvement = 0
+    best_model = state.params(cfg)
+    best_opt_state = state.opt_state
+    best_epoch = 0
+    prev_map_va = 0.0
+
+    curves: Dict[str, list] = {k: [] for k in (
+        "pred_tr_err", "pred_val_err", "dist_tr", "dist_val", "rank_tr",
+        "rank_val", "map_tr", "map_val", "evals_tr", "lr")}
+
+    n_valid_cca = int(min(1000, data["valid"].shape[0]))
+    epoch_idx = 0
+    now = time.time()
+    try:
+        while epoch_idx < num_epochs:
+            epoch_idx += 1
+
+            # ---- train one epoch --------------------------------------------
+            batch_losses, batch_corrs = [], []
+            iterator = train_batch_iter(data["train"])
+            t0 = time.time()
+            n_batches = 0
+            for x1, x2 in threaded_generator_from_iterator(iterator):
+                state, m = train_step(state, jnp.asarray(x1), jnp.asarray(x2))
+                batch_losses.append(m["loss"])
+                batch_corrs.append(m["corr"])
+                n_batches += 1
+            # one host sync at epoch end, not per batch
+            batch_losses = [float(l) for l in batch_losses]
+            tr_loss = float(np.mean(batch_losses))
+            ups = n_batches / max(time.time() - t0, 1e-9)
+            params_now = state.params(cfg)
+
+            # ---- embed train subset (fresh iterator copy, :234-246) ---------
+            it_copy = copy.copy(train_batch_iter)
+            it_copy.epoch_counter = 0
+            V1_tr, V2_tr = [], []
+            n_collected = 0
+            for x1, x2 in threaded_generator_from_iterator(
+                    it_copy(data["train"])):
+                if n_collected >= n_valid_cca:
+                    break
+                lv1, lv2 = embed_pair(params_now, jnp.asarray(x1),
+                                      jnp.asarray(x2))
+                V1_tr.append(np.asarray(lv1))
+                V2_tr.append(np.asarray(lv2))
+                n_collected += lv1.shape[0]
+            V1_tr = np.vstack(V1_tr)
+            V2_tr = np.vstack(V2_tr)
+
+            if cfg.fit_cca:
+                res = cca_ops.cca_fit(V1_tr, V2_tr, method="svd")
+                lv1_tr = np.asarray(cca_ops.cca_transform_v1(res, V1_tr))
+                lv2_tr = np.asarray(cca_ops.cca_transform_v2(res, V2_tr))
+            else:
+                lv1_tr, lv2_tr = V1_tr, V2_tr
+            _, med_rank_tr, dist_tr, hit_tr, map_tr = eval_retrieval(
+                lv1_tr, lv2_tr)
+            mean_rank_tr = 1.0 - float(hit_tr[10]) / len(lv1_tr)
+
+            # ---- validation (:272-299) --------------------------------------
+            V1_va, V2_va, va_losses = [], [], []
+            n_collected = 0
+            for x1, x2 in threaded_generator_from_iterator(
+                    valid_batch_iter(data["valid"])):
+                vloss, lv1, lv2 = valid_loss_fn(params_now, jnp.asarray(x1),
+                                                jnp.asarray(x2))
+                va_losses.append(float(vloss))
+                if n_collected < n_valid_cca:
+                    V1_va.append(np.asarray(lv1))
+                    V2_va.append(np.asarray(lv2))
+                    n_collected += lv1.shape[0]
+            va_loss = float(np.mean(va_losses))
+            V1_va = np.vstack(V1_va)
+            V2_va = np.vstack(V2_va)
+            if cfg.fit_cca:
+                lv1_va = np.asarray(cca_ops.cca_transform_v1(res, V1_va))
+                lv2_va = np.asarray(cca_ops.cca_transform_v2(res, V2_va))
+            else:
+                lv1_va, lv2_va = V1_va, V2_va
+            _, med_rank_va, dist_va, hit_va, map_va = eval_retrieval(
+                lv1_va, lv2_va)
+            mean_rank_va = 1.0 - float(hit_va[10]) / 1000.0
+
+            # ---- improvement / snapshot (:387-401) --------------------------
+            improvement = map_va >= prev_map_va
+            if improvement:
+                last_improvement = 0
+                best_epoch = epoch_idx
+                best_model = jax.tree.map(lambda x: x, params_now)
+                best_opt_state = jax.tree.map(lambda x: x, state.opt_state)
+                if dump_file is not None:
+                    uio.save_pytree(dump_file, best_model,
+                                    meta={"model": cfg.name,
+                                          "epoch": epoch_idx})
+            last_improvement += 1
+
+            if np.isnan(tr_loss):
+                last_improvement = patience + 1
+
+            say("Epoch %d of %d took %.3fs (patience: %d, %.2f ups)" % (
+                epoch_idx, num_epochs, time.time() - now,
+                patience - last_improvement + 1, ups))
+            now = time.time()
+            txt = "  costs_tr %.5f costs_va %.5f " % (tr_loss, va_loss)
+            txt += "| map_tr %.2f map_va %.2f " % (100 * map_tr, 100 * map_va)
+            txt += "| medr_tr %.2f medr_va %.2f lr %.6g" % (
+                med_rank_tr, med_rank_va, learn_rate)
+            say(txt, BColors.OKGREEN if map_va > prev_map_va else None)
+            if map_va > prev_map_va:
+                prev_map_va = map_va
+
+            # ---- curves (:465-489) ------------------------------------------
+            corr_mean = (np.asarray(jnp.stack(batch_corrs)).mean(axis=0)
+                         if batch_corrs else None)
+            for k, v in (("pred_tr_err", tr_loss), ("pred_val_err", va_loss),
+                         ("dist_tr", dist_tr), ("dist_val", dist_va),
+                         ("rank_tr", mean_rank_tr), ("rank_val", mean_rank_va),
+                         ("map_tr", map_tr), ("map_val", map_va),
+                         ("evals_tr", corr_mean), ("lr", learn_rate)):
+                curves[k].append(v)
+            uio.save_results(log_file, curves)
+
+            if on_epoch is not None:
+                on_epoch(dict(number=epoch_idx, train_loss=tr_loss,
+                              valid_loss=va_loss, map_tr=map_tr,
+                              map_va=map_va, med_rank_va=med_rank_va))
+
+            # ---- early stopping / refinement (:491-520) ---------------------
+            if last_improvement > patience:
+                say("Early Stopping!", BColors.WARNING)
+                say("Best Epoch: %d, Map: %.2f" % (best_epoch,
+                                                   100 * prev_map_va),
+                    BColors.WARNING)
+                if refinement_steps <= 0:
+                    break
+                say("Loading best parameters so far and refining (%d) "
+                    "with decreased learn rate ..." % refinement_steps,
+                    BColors.WARNING)
+                last_improvement = 0
+                patience = cfg.refinement_patience
+                refinement_steps -= 1
+                trainable, non_trainable = ts.split_params(best_model, cfg)
+                learn_rate = learn_rate * cfg.lr_multiplier
+                state = ts.TrainState(
+                    trainable, non_trainable,
+                    ts.set_lr(jax.tree.map(lambda x: x, best_opt_state),
+                              learn_rate),
+                    state.step)
+            else:
+                state = state._replace(
+                    opt_state=ts.set_lr(state.opt_state, learn_rate))
+
+    except KeyboardInterrupt:
+        say("\ntraining interrupted", BColors.WARNING)
+
+    return best_model, prev_map_va

@@ -1,0 +1,127 @@
+"""Data pools / iterators: entity indexing, augmentation, sub-epoch semantics."""
+
+import numpy as np
+
+from audio_sheet_retrieval_tpu.data import iterators, pools, synthetic
+
+
+def _small_pool(augment=None, shuffle=False, seed=0):
+    images, specs, o2cs = synthetic.make_piece_list(
+        seed, 2, n_onsets=30, n_performances=2)
+    return pools.AudioScoreRetrievalPool(
+        images, specs, o2cs,
+        data_augmentation=augment or pools.NO_AUGMENT,
+        shuffle=shuffle, rng=np.random.default_rng(seed))
+
+
+def test_pool_entity_filtering_bounds():
+    pool = _small_pool()
+    assert pool.shape[0] > 0
+    for (i_sheet, i_spec, i_onset) in pool.train_entities:
+        m = pool.o2c_maps[i_sheet][i_spec]
+        onset, coord = int(m[i_onset, 0]), int(m[i_onset, 1])
+        o_start = onset - pools.SPEC_CONTEXT // 2
+        assert o_start >= 0
+        assert o_start + pools.SPEC_CONTEXT < pool.specs[i_sheet][i_spec].shape[1]
+        assert coord - pools.SHEET_CONTEXT // 2 >= 0
+        # reference quirk: sheet stop bound uses o_start (data_pools.py:110)
+        assert o_start + pools.SHEET_CONTEXT < pool.images[i_sheet].shape[1]
+
+
+def test_pool_batch_shapes_and_centering():
+    pool = _small_pool()
+    sheet, spec = pool[0:5]
+    assert sheet.shape == (5, 1, 160, 200)
+    assert spec.shape == (5, 1, 92, 42)
+    # without augmentation the note head is centered in the snippet (pick an
+    # entity away from the strip edges: the 4x-context window must not clip)
+    for idx, (i_sheet, i_spec, i_onset) in enumerate(pool.train_entities):
+        coord = int(pool.o2c_maps[i_sheet][i_spec][i_onset, 1])
+        w = pool.images[i_sheet].shape[1]
+        if 2 * 200 <= coord <= w - 2 * 200:
+            break
+    sheet_c, _ = pool[idx:idx + 1]
+    # the target note head (pure black blob) must sit at the snippet center
+    center_cols = sheet_c[0, 0][:, 94:106]
+    assert center_cols.min() == 0.0
+
+
+def test_pool_augmentation_changes_samples():
+    pool_aug = _small_pool(augment=pools.FULL_AUGMENT, seed=1)
+    a, sa = pool_aug[0:1]
+    b, sb = pool_aug[0:1]
+    # same entity, different augmented crops (scaling/translation jitter)
+    assert not np.array_equal(a, b) or not np.array_equal(sa, sb)
+    assert a.shape == (1, 1, 160, 200)
+    pool_noaug = _small_pool(seed=1)
+    c, _ = pool_noaug[0:1]
+    d, _ = pool_noaug[0:1]
+    np.testing.assert_array_equal(c, d)
+
+
+def test_multiview_iterator_subepochs_and_wraparound():
+    pool = _small_pool()
+    n = pool.shape[0]
+    k = (n // 2) - ((n // 2) % 10)  # half the pool, multiple of batch
+    it = iterators.MultiviewPoolIteratorUnsupervised(
+        batch_size=10, k_samples=k, shuffle=False)
+    it = it(pool)
+    assert it.n_epochs == n // k
+    b1 = sum(1 for _ in it)
+    assert b1 == int(np.ceil(k / 10))
+    assert it.epoch_counter == 1
+    # second sub-epoch iterates the next slice of the pool
+    first_next = next(iter(it))
+    expect, _ = pool[k:k + 10]
+    np.testing.assert_array_equal(first_next[0], expect)
+
+
+def test_iterator_wraparound_fill():
+    pool = _small_pool()
+    bs = 7
+    it = iterators.MultiviewPoolIteratorUnsupervised(
+        batch_size=bs, k_samples=None, shuffle=False)(pool)
+    batches = list(it)
+    assert all(b[0].shape[0] == bs for b in batches)
+
+
+def test_threaded_generator_order():
+    gen = iterators.threaded_generator(iter(range(50)), num_cached=4)
+    assert list(gen) == list(range(50))
+
+
+def test_batch_compute_padding():
+    X = np.random.default_rng(0).random((23, 3)).astype(np.float32)
+    got = iterators.batch_compute1(X, lambda e: e * 2.0, batch_size=10)
+    np.testing.assert_allclose(got, X * 2.0, rtol=1e-6)
+    got2 = iterators.batch_compute2(X, X, lambda a, b: a + b, batch_size=10)
+    np.testing.assert_allclose(got2, 2 * X, rtol=1e-6)
+
+
+def test_unwrap_sheet_image_coords():
+    # two synthetic 'systems' on a page; noteheads remap onto the strip
+    page = np.full((400, 300), 255, np.uint8)
+    page[95:105, 50] = 0     # note in system 1
+    page[295:305, 120] = 0   # note in system 2
+    systems = [(60, 10, 140, 290), (260, 10, 340, 290)]
+    coords = {1: (100.0, 50.0), 2: (300.0, 120.0)}
+    strip, un_coords = pools.unwrap_sheet_image(
+        page, systems, coords, window_top=80, window_bottom=80)
+    assert strip.shape[0] == 160
+    assert strip.shape[1] == 2 * 280
+    y1, x1 = un_coords[1]
+    y2, x2 = un_coords[2]
+    assert x2 > 280  # second system appended after the first
+    assert abs(y1 - y2) < 1  # same relative height in both systems
+    # pixel content actually moved with the coords
+    assert strip[int(y1), int(x1)] == 0
+    assert strip[int(y2), int(x2)] == 0
+
+
+def test_onset_to_coordinates_dedup():
+    alignment = [(1, 10), (2, 10), (3, 14)]
+    coords = {1: (0, 100), 2: (0, 105), 3: (0, 200)}
+    m = pools.onset_to_coordinates(alignment, coords)
+    assert m.shape == (2, 2)
+    assert m[0].tolist() == [10, 100]  # first mapping per onset frame kept
+    assert m[1].tolist() == [14, 200]
