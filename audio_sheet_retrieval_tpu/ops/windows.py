@@ -1,0 +1,100 @@
+"""Device-side window extraction over long sequences (strips, spectrograms).
+
+The reference windows long inputs host-side with python loops
+(reference:audio_sheet_server.py:216-223,465-477; audio2sheet_align.py:
+112-135). On TPU the full unrolled strip / spectrogram stays resident in HBM
+and all windows are produced by one batched gather — uploading a piece once
+costs 4-16x less host->device traffic than uploading its overlapping windows
+(the serving DB build uses stride context//4).
+
+All functions are jit-specialized on (num_windows, window); callers bucket
+start counts (pad with repeated starts, drop tails host-side).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.jit, static_argnames=("window",))
+def gather_windows(seq: jnp.ndarray, starts: jnp.ndarray, window: int):
+    """[H, W] sequence + [N] starts -> [N, H, window] windows (gather)."""
+    cols = starts[:, None] + jnp.arange(window)[None, :]      # [N, window]
+    return jnp.transpose(seq[:, cols], (1, 0, 2))             # [N, H, window]
+
+
+def linspace_starts(total: int, window: int, n: int) -> np.ndarray:
+    return np.linspace(0, total - window, num=n).astype(np.int32)
+
+
+def stride_starts(total: int, window: int, stride: int) -> np.ndarray:
+    return np.arange(0, total - window, stride, dtype=np.int32)
+
+
+def make_strip_embedder(params, cfg, *, center_crop: int | None = None):
+    """Sheet-strip -> window embeddings, fully fused on device.
+
+    Returns a jitted fn(strip_u8 [H, W], starts [N]) -> [N, dim] where the
+    strip is raw uint8; the vertical center crop (server semantics,
+    audio_sheet_server.py:265-271), /255 normalization, optional half
+    resize ('prepare') and the encoder+CCA+L2 all run in one computation.
+    """
+    from audio_sheet_retrieval_tpu.models import cca_model
+    from audio_sheet_retrieval_tpu.train.engine import prepare_view1_device
+
+    crop_h = center_crop or cfg.input_shape_1[1]
+    window = cfg.input_shape_1[2]
+
+    @jax.jit
+    def embed(strip_u8: jnp.ndarray, starts: jnp.ndarray):
+        r0 = strip_u8.shape[0] // 2 - crop_h // 2
+        strip = jax.lax.dynamic_slice_in_dim(strip_u8, r0, crop_h, axis=0)
+        wins = gather_windows(strip.astype(jnp.float32), starts, window)
+        x = prepare_view1_device(wins[:, None, :, :], cfg)
+        return cca_model.embed_view1(params, x, cfg)
+
+    return embed
+
+
+def make_spec_embedder(params, cfg):
+    """Spectrogram [bins, T] -> window embeddings, fused on device."""
+    from audio_sheet_retrieval_tpu.models import cca_model
+    from audio_sheet_retrieval_tpu.train.engine import prepare_view2_device
+
+    window = cfg.input_shape_2[2]
+
+    @jax.jit
+    def embed(spec: jnp.ndarray, starts: jnp.ndarray):
+        wins = gather_windows(spec, starts, window)
+        x = prepare_view2_device(wins[:, None, :, :])
+        return cca_model.embed_view2(params, x, cfg)
+
+    return embed
+
+
+def make_audio_embedder(params, cfg, processor):
+    """Raw int16-range waveform -> spectrogram -> window embeddings.
+
+    The complete audio serving path as ONE jitted computation: framing +
+    STFT + log filterbank (ops/audio.py) + window gather + encoder. The
+    host uploads int16 samples only.
+    """
+    from audio_sheet_retrieval_tpu.models import cca_model
+    from audio_sheet_retrieval_tpu.train.engine import prepare_view2_device
+
+    window = cfg.input_shape_2[2]
+
+    @functools.partial(jax.jit, static_argnames=("num_frames",))
+    def embed(signal_i16: jnp.ndarray, starts: jnp.ndarray, num_frames: int):
+        # madmom folds the int16 range into the window (1/32767)
+        sig = signal_i16.astype(jnp.float32) * (1.0 / 32767.0)
+        spec = processor.process_on_device(sig, num_frames).T  # [bins, T]
+        wins = gather_windows(spec, starts, window)
+        x = prepare_view2_device(wins[:, None, :, :])
+        return cca_model.embed_view2(params, x, cfg)
+
+    return embed

@@ -1,0 +1,72 @@
+"""Device-resident embedding gallery with fused matmul + top-k search.
+
+The reference's retrieval hot path is a per-query scipy ``cdist`` against the
+whole snippet-code database on the host (reference:audio_sheet_server.py:
+530-551). Here the gallery lives in device memory, padded to a size bucket so
+the query is one compiled XLA computation: an [Q, 32] x [32, N] score matmul
+(MXU) followed by ``lax.top_k`` — no host round-trips, no recompilation as
+the database grows within a bucket.
+
+Cosine distance semantics match cdist: 1 - <q, g>/(|q||g|); embeddings from
+the model are already L2-normalized, but normalization is applied defensively
+so raw codes behave identically to the reference.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _normalize(x, eps=0.0):
+    n = jnp.linalg.norm(x, axis=-1, keepdims=True)
+    return x / jnp.where(n == 0, 1.0, n)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _topk_query(gallery_nt: jnp.ndarray, valid: jnp.ndarray,
+                queries: jnp.ndarray, k: int):
+    q = _normalize(queries.astype(jnp.float32))
+    scores = jnp.dot(q, gallery_nt, preferred_element_type=jnp.float32)
+    # invalid (padding) rows get -inf score == +inf distance
+    scores = jnp.where(valid[None, :], scores, -jnp.inf)
+    top_scores, top_idx = jax.lax.top_k(scores, k)
+    return 1.0 - top_scores, top_idx
+
+
+class DeviceGallery:
+    """Padded device gallery over [N, d] codes with integer labels."""
+
+    def __init__(self, codes: np.ndarray, ids: Optional[np.ndarray] = None,
+                 bucket: int = 2048):
+        codes = np.asarray(codes, np.float32)
+        n, d = codes.shape
+        n_pad = max(bucket, int(np.ceil(n / bucket) * bucket))
+        padded = np.zeros((n_pad, d), np.float32)
+        padded[:n] = codes
+        self.n = n
+        # store normalized + transposed: the query matmul is [Q,d] @ [d,N]
+        g = jnp.asarray(padded)
+        self.gallery_nt = jnp.transpose(_normalize(g))
+        self.valid = jnp.arange(n_pad) < n
+        self.ids = (np.asarray(ids, np.int64) if ids is not None
+                    else np.arange(n, dtype=np.int64))
+
+    def topk(self, queries: np.ndarray, k: int
+             ) -> Tuple[np.ndarray, np.ndarray]:
+        """-> (distances [Q, k], gallery indices [Q, k])."""
+        k = min(k, self.n)
+        d, i = _topk_query(self.gallery_nt, self.valid,
+                           jnp.atleast_2d(jnp.asarray(queries)), k)
+        return np.asarray(d), np.asarray(i)
+
+    def topk_ids(self, queries: np.ndarray, k: int
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+        """-> (labels [Q, k], gallery indices [Q, k]) — the reference's
+        ``_retrieve_*_ids`` contract (audio_sheet_server.py:530-563)."""
+        _, idx = self.topk(queries, k)
+        return self.ids[idx], idx

@@ -1,0 +1,363 @@
+"""Piece-identification server: snippet/excerpt galleries + voting.
+
+Parity with reference:audio_sheet_server.py (AudioSheetServer):
+  * ``initialize_sheet_db`` / ``initialize_audio_db`` build galleries from
+    piece data via a retrieval pool (:309-401),
+  * ``initialize_sheet_db_from_imges`` / ``initialize_audio_db_from_specs``
+    sliding-window (stride context//4) variants for raw inputs (:403-494),
+  * pickle save/load of databases (:496-522),
+  * ``detect_score``: 100 equally spaced excerpts -> embed -> per-excerpt
+    top-n_candidates neighbors -> piece-id vote count -> top-k (:213-253),
+  * ``detect_performance``: the sheet-query mirror (:255-300),
+  * ``run``: streaming frame loop with a sliding 42-frame window and an
+    energy-based music gate (:83-211, GUI optional).
+
+TPU-first: galleries are device-resident (retrieval/gallery.py) so a full
+100-excerpt query is ONE matmul+top-k; the 100 windows are sliced with a
+batched gather instead of a python loop.
+"""
+
+from __future__ import annotations
+
+import pickle
+import sys
+import time
+from typing import Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from audio_sheet_retrieval_tpu.data.pools import (
+    NO_AUGMENT,
+    SHEET_CONTEXT,
+    SPEC_BINS,
+    SPEC_CONTEXT,
+    SYSTEM_HEIGHT,
+    AudioScoreRetrievalPool,
+)
+from audio_sheet_retrieval_tpu.retrieval.gallery import DeviceGallery
+from audio_sheet_retrieval_tpu.utils.logging import BColors
+
+col = BColors()
+
+
+def slice_windows(arr2d: np.ndarray, window: int, starts: np.ndarray,
+                  row0: int = 0, rows: Optional[int] = None) -> np.ndarray:
+    """Batched horizontal window gather: [rows, window] slices at ``starts``.
+
+    Replaces the reference's per-window python loops
+    (audio_sheet_server.py:216-223, 465-477)."""
+    rows = rows if rows is not None else arr2d.shape[0]
+    out = np.zeros((len(starts), 1, rows, window), dtype=np.float32)
+    for i, s in enumerate(starts):
+        out[i, 0] = arr2d[row0:row0 + rows, s:s + window]
+    return out
+
+
+def linspace_starts(total: int, window: int, n_samples: int = 100) -> np.ndarray:
+    return np.linspace(start=0, stop=total - window, num=n_samples).astype(int)
+
+
+def vote_ranking(all_ids: np.ndarray, top_k: int):
+    """Piece-id vote count -> (unique ids, counts, top-k order)
+    (audio_sheet_server.py:237-240 semantics, incl. argsort tie order)."""
+    unique, counts = np.unique(all_ids, return_counts=True)
+    sorted_count_idxs = np.argsort(counts)[::-1][:top_k]
+    return unique, counts, sorted_count_idxs
+
+
+class AudioSheetServer:
+    """Audio -> sheet-music piece retrieval server."""
+
+    def __init__(self, spec_shape=(SPEC_BINS, SPEC_CONTEXT),
+                 sheet_shape=(SYSTEM_HEIGHT, SHEET_CONTEXT)):
+        self.spec_shape = spec_shape
+        self.sheet_shape = sheet_shape
+
+        self.sheet_snippet_codes: Optional[np.ndarray] = None
+        self.sheet_snippet_ids: Optional[np.ndarray] = None
+        self.id_to_piece: Dict[int, str] = {}
+        self.sheet_snippets: Optional[np.ndarray] = None
+
+        self.perform_excerpt_codes: Optional[np.ndarray] = None
+        self.perform_excerpt_ids: Optional[np.ndarray] = None
+        self.id_to_perform: Dict[int, str] = {}
+        self.perform_excerpts: Optional[np.ndarray] = None
+
+        self.embed_network = None
+        self._sheet_gallery: Optional[DeviceGallery] = None
+        self._audio_gallery: Optional[DeviceGallery] = None
+
+    # -- model ----------------------------------------------------------------
+
+    def initialize_embedding_network(self, wrapper) -> None:
+        self.embed_network = wrapper
+
+    # -- database construction --------------------------------------------------
+
+    def _refresh_sheet_gallery(self):
+        self._sheet_gallery = DeviceGallery(self.sheet_snippet_codes,
+                                            self.sheet_snippet_ids)
+
+    def _refresh_audio_gallery(self):
+        self._audio_gallery = DeviceGallery(self.perform_excerpt_codes,
+                                            self.perform_excerpt_ids)
+
+    def initialize_sheet_db(self, pieces: Sequence[str],
+                            piece_loader: Callable[[str], tuple],
+                            keep_snippets: bool = False) -> None:
+        """Build the sheet-snippet gallery from aligned piece data.
+
+        ``piece_loader(name) -> (image, specs, o2c_maps)`` abstracts the data
+        source (msmd / npz / synthetic); the reference hardcoded
+        prepare_piece_data over DATA_ROOT_MSMD (audio_sheet_server.py:324).
+        """
+        print("Initializing sheet music db ...")
+        codes, ids, snippets = [], [], []
+        self.id_to_piece = {}
+        for piece_idx, piece in enumerate(pieces):
+            print(" (%03d / %03d) %s" % (piece_idx + 1, len(pieces), piece))
+            self.id_to_piece[piece_idx] = piece
+            image, specs, o2c = piece_loader(piece)
+            pool = AudioScoreRetrievalPool(
+                [image], [specs], [o2c], data_augmentation=NO_AUGMENT,
+                shuffle=False,
+                sheet_context=self.sheet_shape[1],
+                staff_height=self.sheet_shape[0],
+                spec_context=self.spec_shape[1])
+            if pool.shape[0] == 0:
+                continue
+            sheet_batch, _ = pool[0:pool.shape[0]]
+            codes.append(self.embed_network.compute_view_1(sheet_batch))
+            ids.append(np.full(pool.shape[0], piece_idx, np.int64))
+            if keep_snippets:
+                half = sheet_batch[:, 0, ::2, ::2].astype(np.uint8)
+                snippets.append(half)
+        self.sheet_snippet_codes = np.concatenate(codes)
+        self.sheet_snippet_ids = np.concatenate(ids)
+        self.sheet_snippets = (np.concatenate(snippets) if snippets else
+                               np.zeros((0,) + tuple(
+                                   s // 2 for s in self.sheet_shape),
+                                   np.uint8))
+        print("%s sheet snippet codes of %d pieces collected"
+              % (self.sheet_snippet_codes.shape[0], len(pieces)))
+        self._refresh_sheet_gallery()
+
+    def initialize_audio_db(self, pieces: Sequence[str],
+                            piece_loader: Callable[[str], tuple],
+                            keep_snippets: bool = False) -> None:
+        """Audio-excerpt gallery from aligned piece data (:356-401)."""
+        print("Initializing audio db ...")
+        codes, ids = [], []
+        self.id_to_perform = {}
+        for piece_idx, piece in enumerate(pieces):
+            print(" (%03d / %03d) %s" % (piece_idx + 1, len(pieces), piece))
+            self.id_to_perform[piece_idx] = piece
+            image, specs, o2c = piece_loader(piece)
+            pool = AudioScoreRetrievalPool(
+                [image], [specs], [o2c], data_augmentation=NO_AUGMENT,
+                shuffle=False,
+                sheet_context=self.sheet_shape[1],
+                staff_height=self.sheet_shape[0],
+                spec_context=self.spec_shape[1])
+            if pool.shape[0] == 0:
+                continue
+            _, spec_batch = pool[0:pool.shape[0]]
+            codes.append(self.embed_network.compute_view_2(spec_batch))
+            ids.append(np.full(pool.shape[0], piece_idx, np.int64))
+        self.perform_excerpt_codes = np.concatenate(codes)
+        self.perform_excerpt_ids = np.concatenate(ids)
+        print("%s audio excerpts of %d pieces collected"
+              % (self.perform_excerpt_codes.shape[0], len(pieces)))
+        self._refresh_audio_gallery()
+
+    def initialize_sheet_db_from_imges(self, pieces: Sequence[str],
+                                       scores: Sequence[np.ndarray],
+                                       keep_snippets: bool = False) -> None:
+        """Sliding-window gallery from raw unrolled score images (:447-494)."""
+        print("Initializing sheet music db ...")
+        codes, ids = [], []
+        self.id_to_piece = {}
+        h, w = self.sheet_shape
+        for piece_idx, piece in enumerate(pieces):
+            self.id_to_piece[piece_idx] = piece
+            image = scores[piece_idx]
+            starts = np.arange(0, image.shape[1] - w, w // 4)
+            r0 = image.shape[0] // 2 - h // 2
+            snippets = slice_windows(image.astype(np.float32), w, starts,
+                                     row0=r0, rows=h)
+            codes.append(self.embed_network.compute_view_1(snippets))
+            ids.append(np.full(len(starts), piece_idx, np.int64))
+        self.sheet_snippet_codes = np.concatenate(codes)
+        self.sheet_snippet_ids = np.concatenate(ids)
+        print("%s sheet snippet codes of %d pieces collected"
+              % (self.sheet_snippet_codes.shape[0], len(pieces)))
+        self._refresh_sheet_gallery()
+
+    def initialize_audio_db_from_specs(self, pieces: Sequence[str],
+                                       spectrograms: Sequence[np.ndarray],
+                                       keep_snippets: bool = False) -> None:
+        """Sliding-window gallery from full spectrograms (:403-445)."""
+        print("Initializing audio db ...")
+        codes, ids = [], []
+        self.id_to_perform = {}
+        bins, ctx = self.spec_shape
+        for piece_idx, piece in enumerate(pieces):
+            self.id_to_perform[piece_idx] = piece
+            spec = spectrograms[piece_idx]
+            starts = np.arange(0, spec.shape[1] - ctx, ctx // 4)
+            excerpts = slice_windows(spec.astype(np.float32), ctx, starts)
+            codes.append(self.embed_network.compute_view_2(excerpts))
+            ids.append(np.full(len(starts), piece_idx, np.int64))
+        self.perform_excerpt_codes = np.concatenate(codes)
+        self.perform_excerpt_ids = np.concatenate(ids)
+        print("%s audio excerpts of %d pieces collected"
+              % (self.perform_excerpt_codes.shape[0], len(pieces)))
+        self._refresh_audio_gallery()
+
+    # -- database persistence ----------------------------------------------------
+
+    def save_sheet_db_file(self, path: str) -> None:
+        print("Dumping sheet db codes ...")
+        with open(path, "wb") as fp:
+            pickle.dump([self.sheet_snippet_codes, self.sheet_snippet_ids,
+                         self.id_to_piece, self.sheet_snippets], fp)
+
+    def load_sheet_db_file(self, path: str) -> None:
+        print("Loading sheet db codes ...")
+        with open(path, "rb") as fp:
+            (self.sheet_snippet_codes, self.sheet_snippet_ids,
+             self.id_to_piece, self.sheet_snippets) = pickle.load(fp)
+        self._refresh_sheet_gallery()
+
+    def save_audio_db_file(self, path: str) -> None:
+        print("Dumping audio db codes ...")
+        with open(path, "wb") as fp:
+            pickle.dump([self.perform_excerpt_codes, self.perform_excerpt_ids,
+                         self.id_to_perform, self.perform_excerpts], fp)
+
+    def load_audio_db_file(self, path: str) -> None:
+        print("Loading audio db codes ...")
+        with open(path, "rb") as fp:
+            (self.perform_excerpt_codes, self.perform_excerpt_ids,
+             self.id_to_perform, self.perform_excerpts) = pickle.load(fp)
+        self._refresh_audio_gallery()
+
+    # -- retrieval ----------------------------------------------------------------
+
+    def _retrieve_sheet_snippet_ids(self, spec_codes: np.ndarray,
+                                    n_candidates: int = 1):
+        ids, idx = self._sheet_gallery.topk_ids(spec_codes, n_candidates)
+        return ids.ravel(), idx.ravel()
+
+    def _retrieve_perform_excerpt_ids(self, sheet_codes: np.ndarray,
+                                      n_candidates: int = 1):
+        ids, idx = self._audio_gallery.topk_ids(sheet_codes, n_candidates)
+        return ids.ravel(), idx.ravel()
+
+    def detect_score(self, spectrogram: np.ndarray, top_k: int = 1,
+                     n_candidates: int = 1, verbose: bool = False,
+                     n_samples: int = 100):
+        """Identify the piece for a full-performance spectrogram (:213-253)."""
+        starts = linspace_starts(spectrogram.shape[1], self.spec_shape[1],
+                                 n_samples)
+        excerpts = slice_windows(spectrogram, self.spec_shape[1], starts,
+                                 rows=self.spec_shape[0])
+        spec_codes = self.embed_network.compute_view_2(excerpts)
+        all_piece_ids, _ = self._retrieve_sheet_snippet_ids(
+            spec_codes, n_candidates=n_candidates)
+
+        unique, counts, order = vote_ranking(all_piece_ids, top_k)
+        if verbose:
+            print(col.print_colored("\nRetrieval Ranking:", col.UNDERLINE))
+            for idx in order:
+                print("pid: %03d (%03d): %s" % (
+                    unique[idx], counts[idx], self.id_to_piece[unique[idx]]))
+        ret_result = [self.id_to_piece[unique[i]] for i in order]
+        ret_votes = np.asarray([counts[i] for i in order], float)
+        ret_votes /= ret_votes.sum()
+        return ret_result, ret_votes
+
+    def detect_performance(self, sheet: np.ndarray, top_k: int = 1,
+                           n_candidates: int = 1, verbose: bool = False,
+                           n_samples: int = 100):
+        """Identify the performance for an unrolled sheet strip (:255-300)."""
+        h, w = self.sheet_shape
+        starts = linspace_starts(sheet.shape[1], w, n_samples)
+        r0 = sheet.shape[0] // 2 - h // 2
+        snippets = slice_windows(sheet.astype(np.float32), w, starts,
+                                 row0=r0, rows=h)
+        sheet_codes = self.embed_network.compute_view_1(snippets)
+        all_ids, _ = self._retrieve_perform_excerpt_ids(
+            sheet_codes, n_candidates=n_candidates)
+
+        unique, counts, order = vote_ranking(all_ids, top_k)
+        if verbose:
+            print(col.print_colored("\nRetrieval Ranking:", col.UNDERLINE))
+            for idx in order:
+                print("pid: %03d (%03d): %s" % (
+                    unique[idx], counts[idx], self.id_to_perform[unique[idx]]))
+        ret_result = [self.id_to_perform[unique[i]] for i in order]
+        ret_votes = np.asarray([counts[i] for i in order], float)
+        ret_votes /= ret_votes.sum()
+        return ret_result, ret_votes
+
+    # -- streaming ------------------------------------------------------------------
+
+    @staticmethod
+    def _detect_music(running_spec: np.ndarray, spec: np.ndarray) -> float:
+        """Energy-based music gate (:524-528)."""
+        music_prob = running_spec.sum(axis=0).mean()
+        music_prob /= (spec.sum(axis=0).max() * 0.15)
+        return float(np.clip(music_prob, 0.0, 1.0))
+
+    def run(self, spec: Optional[np.ndarray] = None, top_k: int = 5,
+            n_candidates: int = 5, running_frames: Optional[int] = None,
+            gui: bool = False, target_piece: Optional[str] = None,
+            max_frames: Optional[int] = None,
+            on_update: Optional[Callable] = None):
+        """Streaming retrieval loop over spectrogram frames (:83-211).
+
+        Yields nothing; reports via ``on_update(frame_idx, ranking, votes,
+        fps)`` and an optional matplotlib GUI. ``spec=None`` would read a
+        microphone stream (unsupported in this environment — pass frames).
+        """
+        print("Running server ...")
+        if spec is None:
+            raise NotImplementedError(
+                "microphone streaming requires an audio input device; pass a "
+                "precomputed spectrogram")
+        running_spec = np.zeros(self.spec_shape, np.float32)
+        all_piece_ids = np.zeros(0, np.int64)
+        frame_times = np.zeros(10)
+        ranking, votes = [], np.zeros(0)
+        n_frames = spec.shape[1] if max_frames is None else min(
+            spec.shape[1], max_frames)
+        for i_frame in range(n_frames):
+            start = time.time()
+            running_spec = np.hstack((running_spec[:, 1:],
+                                      spec[:, i_frame:i_frame + 1]))
+            m_prob = self._detect_music(running_spec, spec)
+            if m_prob > 0.5 and i_frame >= running_spec.shape[1]:
+                spec_code = self.embed_network.compute_view_2(
+                    running_spec[None, None])
+                piece_ids, _ = self._retrieve_sheet_snippet_ids(
+                    spec_code, n_candidates=n_candidates)
+                all_piece_ids = np.concatenate((all_piece_ids, piece_ids))
+                if running_frames is not None:
+                    first_idx = running_frames * n_candidates
+                    if all_piece_ids.shape[0] > first_idx:
+                        all_piece_ids = all_piece_ids[-first_idx:]
+                unique, counts, order = vote_ranking(all_piece_ids, top_k)
+                ranking = [self.id_to_piece[unique[i]] for i in order]
+                votes = counts[order].astype(float) / counts.sum()
+
+            frame_times[1:] = frame_times[:-1]
+            frame_times[0] = time.time() - start
+            fps = 1.0 / max(frame_times.mean(), 1e-9)
+            if on_update is not None:
+                on_update(i_frame, ranking, votes, fps)
+            else:
+                print("Server is running at %.2f fps." % fps, end="\r")
+                sys.stdout.flush()
+        print("")
+        return ranking, votes

@@ -1,0 +1,174 @@
+"""Benchmark: end-to-end embedding throughput + query latency on one TPU chip.
+
+Primary metric (BASELINE.json north star): snippet embeddings/sec/chip,
+end-to-end RAW input -> 32-D embedding. The measured workload is the serving
+database-build path (reference:audio_sheet_server.py:403-494): per piece the
+host uploads the raw unrolled sheet strip (uint8) and the raw audio waveform
+(int16) ONCE; windowing at stride context//4, spectrogram DSP (framing +
+STFT + log filterbank), normalization/resize, the twin encoders, the CCA
+projection and L2-norm all run on device as two jitted computations.
+
+Baseline target: 1000 embeddings/sec/chip (the reference records no absolute
+numbers — utils/train_dcca_pool.py:221-231 prints but never stores "ups").
+
+Prints ONE JSON line on stdout; diagnostics on stderr.
+
+Env knobs:
+  ASR_BENCH_DTYPE   float32 (default, checkpoint-parity precision) | bfloat16
+  ASR_BENCH_PIECES  number of benchmark pieces (default 24)
+  ASR_BENCH_SECS    audio seconds per piece (default 60)
+  ASR_BENCH_WIDTH   strip width px per piece (default 20000)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+
+    # persistent compile cache: the window-gather programs are expensive to
+    # compile; cache them across bench invocations/rounds
+    cache_dir = os.environ.get(
+        "ASR_COMPILE_CACHE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception as e:  # older jax versions
+        log("compilation cache unavailable:", e)
+
+    import jax.numpy as jnp
+
+    from audio_sheet_retrieval_tpu.models import cca_model, lasagne_import
+    from audio_sheet_retrieval_tpu.models.configs import get_model_config
+    from audio_sheet_retrieval_tpu.ops import audio as audio_ops
+    from audio_sheet_retrieval_tpu.ops import windows as win
+    from audio_sheet_retrieval_tpu.retrieval.gallery import DeviceGallery
+
+    dtype = os.environ.get("ASR_BENCH_DTYPE", "float32")
+    n_pieces = int(os.environ.get("ASR_BENCH_PIECES", 24))
+    secs = int(os.environ.get("ASR_BENCH_SECS", 60))
+    width = int(os.environ.get("ASR_BENCH_WIDTH", 20000))
+
+    dev = jax.devices()[0]
+    log(f"device: {dev} platform={dev.platform} dtype={dtype} "
+        f"pieces={n_pieces} secs={secs} width={width}")
+
+    cfg = get_model_config("mutopia_ccal_cont_rsz")
+    cfg = dataclasses.replace(cfg, compute_dtype=dtype)
+
+    ref_ckpt = "/root/reference/tutorials/params_all_split_mutopia_full_aug.pkl"
+    if os.path.exists(ref_ckpt):
+        params = lasagne_import.load_retrieval_checkpoint(ref_ckpt, cfg)
+        log("using reference checkpoint weights")
+    else:
+        params = cca_model.init_model(jax.random.PRNGKey(0), cfg)
+        log("reference checkpoint absent; random weights")
+
+    proc = audio_ops.AudioProcessor()
+    sr = proc.sample_rate
+    sheet_w = cfg.input_shape_1[2]
+    spec_w = cfg.input_shape_2[2]
+
+    embed_strip = win.make_strip_embedder(params, cfg, center_crop=160)
+    embed_audio = win.make_audio_embedder(params, cfg, proc)
+
+    # fixed per-piece geometry -> each jit compiles exactly once
+    n_samples = secs * sr
+    n_frames = audio_ops.num_frames_for(n_samples, proc.hop_size)
+    sheet_starts = win.stride_starts(width, sheet_w, sheet_w // 4)
+    spec_starts = win.stride_starts(n_frames, spec_w, spec_w // 4)
+    sheet_starts_d = jnp.asarray(sheet_starts)
+    spec_starts_d = jnp.asarray(spec_starts)
+    emb_per_piece = len(sheet_starts) + len(spec_starts)
+    bytes_per_piece = 200 * width + n_samples * 2
+    log(f"per piece: {len(sheet_starts)} sheet + {len(spec_starts)} audio "
+        f"embeddings, {bytes_per_piece / 1e6:.1f} MB raw upload")
+
+    rng = np.random.default_rng(0)
+    strips = [(rng.random((200, width)) * 255).astype(np.uint8)
+              for _ in range(n_pieces)]
+    audios = [(rng.standard_normal(n_samples) * 3000).astype(np.int16)
+              for _ in range(n_pieces)]
+
+    # warmup / compile
+    r1 = embed_strip(jnp.asarray(strips[0]), sheet_starts_d)
+    r2 = embed_audio(jnp.asarray(audios[0]), spec_starts_d, n_frames)
+    jax.block_until_ready((r1, r2))
+
+    t0 = time.perf_counter()
+    outs = []
+    for p in range(n_pieces):  # async dispatch pipelines upload + compute
+        outs.append(embed_strip(jnp.asarray(strips[p]), sheet_starts_d))
+        outs.append(embed_audio(jnp.asarray(audios[p]), spec_starts_d,
+                                n_frames))
+    jax.block_until_ready(outs)
+    dt = time.perf_counter() - t0
+
+    total_emb = n_pieces * emb_per_piece
+    total_eps = total_emb / dt
+    mbps = n_pieces * bytes_per_piece / dt / 1e6
+    log(f"end-to-end: {total_emb} embeddings in {dt:.2f}s -> "
+        f"{total_eps:,.0f} emb/s ({mbps:.0f} MB/s raw ingest)")
+
+    # device-resident compute ceiling (batch already in HBM)
+    strip_dev = jax.device_put(strips[0])
+    t0 = time.perf_counter()
+    for _ in range(10):
+        r = embed_strip(strip_dev, sheet_starts_d)
+    r.block_until_ready()
+    ceiling = 10 * len(sheet_starts) / (time.perf_counter() - t0)
+    log(f"device-resident sheet ceiling: {ceiling:,.0f} emb/s")
+
+    # piece-ID query latency: full detect_score (100 excerpts from raw audio
+    # vs a 100k-snippet gallery, top-25 + vote)
+    gal = DeviceGallery(rng.standard_normal((100_000, 32)).astype(np.float32),
+                        ids=rng.integers(0, 1000, 100_000))
+    q_starts = jnp.asarray(win.linspace_starts(n_frames, spec_w, 100))
+    codes = embed_audio(jnp.asarray(audios[0]), q_starts, n_frames)
+    gal.topk(np.asarray(codes), 25)  # compile
+    lat = []
+    for i in range(30):
+        s = time.perf_counter()
+        codes = embed_audio(jnp.asarray(audios[i % n_pieces]), q_starts,
+                            n_frames)
+        ids, _ = gal.topk_ids(np.asarray(codes), 25)
+        np.unique(ids, return_counts=True)
+        lat.append(time.perf_counter() - s)
+    p50 = float(np.percentile(lat, 50) * 1000)
+    log(f"piece-ID query p50 (raw 60s audio -> vote vs 100k gallery): "
+        f"{p50:.1f} ms")
+
+    baseline = 1000.0  # north-star embeddings/sec/chip
+    print(json.dumps({
+        "metric": "snippet_embeddings_per_sec_per_chip",
+        "value": round(total_eps, 1),
+        "unit": "embeddings/s",
+        "vs_baseline": round(total_eps / baseline, 2),
+        "detail": {
+            "raw_ingest_MBps": round(mbps, 1),
+            "device_resident_sheet_emb_per_s": round(ceiling, 1),
+            "piece_id_query_p50_ms": round(p50, 2),
+            "sheet_windows_per_piece": int(len(sheet_starts)),
+            "audio_windows_per_piece": int(len(spec_starts)),
+            "dtype": dtype,
+            "device": str(dev),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

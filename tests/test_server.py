@@ -1,0 +1,122 @@
+"""Piece-identification server: DB build, voting, both directions, persistence."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from audio_sheet_retrieval_tpu.data import synthetic
+from audio_sheet_retrieval_tpu.models import cca_model
+from audio_sheet_retrieval_tpu.models.configs import get_model_config
+from audio_sheet_retrieval_tpu.retrieval.gallery import DeviceGallery
+from audio_sheet_retrieval_tpu.retrieval.server import AudioSheetServer
+from audio_sheet_retrieval_tpu.retrieval.wrapper import RetrievalWrapper
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = get_model_config("mutopia_ccal_cont_rsz", num_filters=4,
+                           dim_latent=8)
+    params = cca_model.init_model(jax.random.PRNGKey(0), cfg)
+    # identity projection so encoder output distances are meaningful
+    import jax.numpy as jnp
+
+    params = params._replace(cca=params.cca._replace(
+        U=jnp.eye(cfg.dim_latent), V=jnp.eye(cfg.dim_latent)))
+    wrapper = RetrievalWrapper(cfg, params=params, batch_size=50)
+
+    names = ["piece_%d" % i for i in range(4)]
+    images, specs, o2cs = synthetic.make_piece_list(5, 4, n_onsets=40)
+    piece_data = {n: (images[i], specs[i], o2cs[i])
+                  for i, n in enumerate(names)}
+
+    srv = AudioSheetServer()
+    srv.initialize_embedding_network(wrapper)
+    srv.initialize_sheet_db(names, lambda n: piece_data[n])
+    srv.initialize_audio_db(names, lambda n: piece_data[n])
+    return srv, names, images, specs
+
+
+def test_gallery_topk_matches_bruteforce():
+    rng = np.random.default_rng(0)
+    codes = rng.standard_normal((500, 16)).astype(np.float32)
+    ids = rng.integers(0, 7, 500)
+    gal = DeviceGallery(codes, ids, bucket=128)
+    q = rng.standard_normal((3, 16)).astype(np.float32)
+    d, idx = gal.topk(q, 10)
+    # brute force cosine
+    from scipy.spatial.distance import cdist
+
+    dists = cdist(q, codes, metric="cosine")
+    want = np.sort(dists, axis=1)[:, :10]
+    np.testing.assert_allclose(np.sort(d, axis=1), want, atol=1e-5)
+
+
+def test_detect_score_votes_for_matching_gallery(setup):
+    """End-to-end detect_score machinery (windowing -> embed -> top-k ->
+    vote). An untrained encoder has no cross-modal correspondence, so the
+    'sheet' gallery is stood up from audio-window codes: the query piece's
+    own windows must then dominate the vote."""
+    srv, names, images, specs = setup
+    srv2 = AudioSheetServer()
+    srv2.initialize_embedding_network(srv.embed_network)
+    srv2.initialize_audio_db_from_specs(names, [s[0] for s in specs])
+    srv2.sheet_snippet_codes = srv2.perform_excerpt_codes
+    srv2.sheet_snippet_ids = srv2.perform_excerpt_ids
+    srv2.id_to_piece = dict(srv2.id_to_perform)
+    srv2._refresh_sheet_gallery()
+    result, votes = srv2.detect_score(specs[2][0], top_k=4, n_candidates=5)
+    assert result[0] == names[2]
+    assert votes[0] == max(votes)
+
+
+def test_detect_performance_votes_for_matching_gallery(setup):
+    srv, names, images, specs = setup
+    srv2 = AudioSheetServer()
+    srv2.initialize_embedding_network(srv.embed_network)
+    srv2.initialize_sheet_db_from_imges(names, images)
+    srv2.perform_excerpt_codes = srv2.sheet_snippet_codes
+    srv2.perform_excerpt_ids = srv2.sheet_snippet_ids
+    srv2.id_to_perform = dict(srv2.id_to_piece)
+    srv2._refresh_audio_gallery()
+    result, votes = srv2.detect_performance(images[1], top_k=4, n_candidates=5)
+    assert result[0] == names[1]
+
+
+def test_db_save_load_roundtrip(setup, tmp_path):
+    srv, names, images, specs = setup
+    p = str(tmp_path / "sheet_db.pkl")
+    srv.save_sheet_db_file(p)
+    srv2 = AudioSheetServer()
+    srv2.initialize_embedding_network(srv.embed_network)
+    srv2.load_sheet_db_file(p)
+    np.testing.assert_array_equal(srv2.sheet_snippet_codes,
+                                  srv.sheet_snippet_codes)
+    r1, _ = srv.detect_score(specs[0][0], top_k=2, n_candidates=3)
+    r2, _ = srv2.detect_score(specs[0][0], top_k=2, n_candidates=3)
+    assert r1 == r2
+
+
+def test_sliding_window_db_variants(setup):
+    srv, names, images, specs = setup
+    srv2 = AudioSheetServer()
+    srv2.initialize_embedding_network(srv.embed_network)
+    srv2.initialize_sheet_db_from_imges(names, images)
+    assert srv2.sheet_snippet_codes.shape[1] == 8
+    assert len(np.unique(srv2.sheet_snippet_ids)) == 4
+    srv2.initialize_audio_db_from_specs(names, [s[0] for s in specs])
+    assert len(srv2.perform_excerpt_codes) > 0
+    r, v = srv2.detect_score(specs[3][0], top_k=4, n_candidates=5)
+    assert names[3] in r
+
+
+def test_streaming_run_reports(setup):
+    srv, names, images, specs = setup
+    updates = []
+    ranking, votes = srv.run(
+        spec=specs[0][0][:, :80], top_k=3, n_candidates=3,
+        running_frames=20,
+        on_update=lambda i, r, v, fps: updates.append((i, list(r))))
+    assert len(updates) == 80
+    # after the window fills, rankings appear
+    assert any(r for _, r in updates)

@@ -1,0 +1,66 @@
+"""Device-side windowing matches host slicing + full fused audio path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audio_sheet_retrieval_tpu.models import cca_model
+from audio_sheet_retrieval_tpu.models.configs import get_model_config
+from audio_sheet_retrieval_tpu.ops import audio, windows
+
+
+def test_gather_windows_matches_host_slices():
+    rng = np.random.default_rng(0)
+    seq = rng.random((92, 500)).astype(np.float32)
+    starts = np.asarray([0, 17, 100, 458], np.int32)
+    got = np.asarray(windows.gather_windows(jnp.asarray(seq),
+                                            jnp.asarray(starts), 42))
+    for i, s in enumerate(starts):
+        np.testing.assert_array_equal(got[i], seq[:, s:s + 42])
+
+
+def test_strip_embedder_matches_wrapper_path():
+    cfg = get_model_config("mutopia_ccal_cont_rsz", num_filters=4,
+                           dim_latent=8)
+    params = cca_model.init_model(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(1)
+    strip = (rng.random((200, 2000)) * 255).astype(np.uint8)
+    starts = windows.linspace_starts(2000, 200, 10)
+
+    embed = windows.make_strip_embedder(params, cfg, center_crop=160)
+    got = np.asarray(embed(jnp.asarray(strip), jnp.asarray(starts)))
+
+    # oracle: host slicing + standard eval path
+    from audio_sheet_retrieval_tpu.train.engine import prepare_view1_device
+
+    r0 = strip.shape[0] // 2 - 80
+    snips = np.stack([strip[r0:r0 + 160, s:s + 200] for s in starts]
+                     ).astype(np.float32)[:, None]
+    want = np.asarray(cca_model.embed_view1(
+        params, prepare_view1_device(jnp.asarray(snips), cfg), cfg))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_audio_embedder_fused_path_matches_host_chain():
+    cfg = get_model_config("mutopia_ccal_cont_rsz", num_filters=4,
+                           dim_latent=8)
+    params = cca_model.init_model(jax.random.PRNGKey(2), cfg)
+    proc = audio.AudioProcessor()
+    sr = proc.sample_rate
+    rng = np.random.default_rng(3)
+    sig = (rng.standard_normal(sr * 3) * 2000).astype(np.int16)
+
+    # host chain: process() -> slice windows -> embed
+    spec = proc.process(sig)
+    starts = windows.linspace_starts(spec.shape[1], 42, 8)
+    from audio_sheet_retrieval_tpu.train.engine import prepare_view2_device
+
+    exc = np.stack([spec[:, s:s + 42] for s in starts])[:, None]
+    want = np.asarray(cca_model.embed_view2(
+        params, prepare_view2_device(jnp.asarray(exc)), cfg))
+
+    # fused device chain
+    embed = windows.make_audio_embedder(params, cfg, proc)
+    nf = audio.num_frames_for(len(sig), proc.hop_size)
+    got = np.asarray(embed(jnp.asarray(sig), jnp.asarray(starts), nf))
+    np.testing.assert_allclose(got, want, atol=5e-4)
