@@ -1,0 +1,368 @@
+"""Geometric detectors over segmentation probability maps.
+
+Parity with reference:sheet_utils/omr.py:306-697 (OpticalMusicRecognizer):
+system detection (bar-projection gap cleanup -> otsu threshold -> morph
+close -> connected components >= 50k px -> bbox shrink -> grid snapping),
+bar detection (blob geometry filters + per-system assignment), note-head
+detection (local maxima), and the general primitive detector.
+
+The reference used skimage (label/regionprops/otsu/peak_local_max); this
+environment has cv2 + scipy, so equivalents are implemented here:
+connected components via cv2, region moments/eccentricity/orientation from
+raw moments (skimage definitions), otsu from a 256-bin histogram, and local
+maxima via scipy maximum_filter. Probability maps come from the jitted
+U-Nets (omr/inference.py); this module is host-side geometry.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import List, Optional
+
+import numpy as np
+
+
+# --- skimage-equivalent primitives -------------------------------------------
+
+
+def otsu_threshold(values: np.ndarray, nbins: int = 256) -> float:
+    """Otsu's method over arbitrary-range float data (skimage semantics)."""
+    values = np.asarray(values, np.float64).ravel()
+    lo, hi = float(values.min()), float(values.max())
+    if lo == hi:
+        return lo
+    hist, bin_edges = np.histogram(values, bins=nbins, range=(lo, hi))
+    bin_centers = (bin_edges[:-1] + bin_edges[1:]) / 2
+    hist = hist.astype(np.float64)
+    w1 = np.cumsum(hist)
+    w2 = np.cumsum(hist[::-1])[::-1]
+    m1 = np.cumsum(hist * bin_centers) / np.maximum(w1, 1e-12)
+    m2 = (np.cumsum((hist * bin_centers)[::-1]) / np.maximum(w2[::-1], 1e-12)
+          )[::-1]
+    var_between = w1[:-1] * w2[1:] * (m1[:-1] - m2[1:]) ** 2
+    return float(bin_centers[:-1][np.argmax(var_between)])
+
+
+@dataclass
+class Region:
+    label: int
+    area: int
+    bbox: tuple          # (min_row, min_col, max_row, max_col), max exclusive
+    centroid: tuple      # (row, col)
+    orientation: float   # radians; |90 deg| = vertical elongation
+    eccentricity: float
+    major_axis_length: float
+
+
+def labeled_regions(binary: np.ndarray) -> tuple:
+    """8-connected components + per-region moments (regionprops-lite)."""
+    import cv2
+
+    n, label_img, stats, centroids = cv2.connectedComponentsWithStats(
+        binary.astype(np.uint8), connectivity=8)
+    regions: List[Region] = []
+    for lab in range(1, n):
+        x, y, w, h, area = stats[lab]
+        ys, xs = np.nonzero(label_img[y:y + h, x:x + w] == lab)
+        ys = ys.astype(np.float64) + y
+        xs = xs.astype(np.float64) + x
+        mr, mc = ys.mean(), xs.mean()
+        mu_rr = np.mean((ys - mr) ** 2)
+        mu_cc = np.mean((xs - mc) ** 2)
+        mu_rc = np.mean((ys - mr) * (xs - mc))
+        # principal axes of the pixel covariance
+        common = math.sqrt(max((mu_rr - mu_cc) ** 2 / 4 + mu_rc ** 2, 0.0))
+        l1 = (mu_rr + mu_cc) / 2 + common
+        l2 = (mu_rr + mu_cc) / 2 - common
+        major = 4.0 * math.sqrt(max(l1, 0.0))
+        ecc = math.sqrt(1.0 - l2 / l1) if l1 > 0 else 0.0
+        theta = 0.5 * math.atan2(2 * mu_rc, mu_cc - mu_rr)
+        regions.append(Region(
+            label=lab, area=int(area),
+            bbox=(int(y), int(x), int(y + h), int(x + w)),
+            centroid=(mr, mc), orientation=theta, eccentricity=ecc,
+            major_axis_length=major))
+    return label_img, regions
+
+
+def peak_local_max_2d(img: np.ndarray, min_distance: int = 3,
+                      threshold_abs: float = 0.5) -> np.ndarray:
+    from scipy.ndimage import maximum_filter
+
+    size = 2 * min_distance + 1
+    mask = (img == maximum_filter(img, size=size)) & (img > threshold_abs)
+    coords = np.argwhere(mask)
+    order = np.argsort(-img[mask])
+    return coords[order]
+
+
+def peak_local_max_1d(signal: np.ndarray, threshold_rel: float = 0.5
+                      ) -> np.ndarray:
+    from scipy.ndimage import maximum_filter1d
+
+    thr = threshold_rel * signal.max()
+    mask = (signal == maximum_filter1d(signal, size=3)) & (signal > thr)
+    return np.nonzero(mask)[0].reshape(-1, 1)
+
+
+# --- system grid snapping (reference omr.py:23-93) ----------------------------
+
+
+def snap_system_to_grid(image: np.ndarray, min_row: int, max_row: int,
+                        min_col: int, max_col: int, thresh: int = 10):
+    """Snap a detected system bbox to staff-line / barline edges."""
+    import cv2
+
+    img = 1.0 - image
+    imagex = cv2.blur(img, (1, 3))
+    imagey = cv2.blur(img, (3, 1))
+
+    edge_signal = imagey.mean(axis=1)
+    cand = peak_local_max_1d(edge_signal)
+    if len(cand):
+        d_min = np.abs(min_row - cand)
+        d_max = np.abs(max_row - cand)
+        i_min, i_max = np.argmin(d_min), np.argmin(d_max)
+        if d_min.ravel()[i_min] < thresh and d_max.ravel()[i_max] < thresh:
+            min_row = int(cand[i_min, 0])
+            max_row = int(cand[i_max, 0])
+
+    edge_signal = imagex[min_row:max_row, :].mean(axis=0)
+    cand = peak_local_max_1d(edge_signal)
+    if len(cand):
+        d_min = np.abs(min_col - cand)
+        # NOTE reference quirk preserved (omr.py:79): the right edge is
+        # matched against max_row, not max_col
+        d_max = np.abs(max_row - cand)
+        i_min, i_max = np.argmin(d_min), np.argmin(d_max)
+        if d_min.ravel()[i_min] < thresh and d_max.ravel()[i_max] < thresh:
+            min_col = int(cand[i_min, 0])
+            max_col = int(cand[i_max, 0])
+
+    return min_row, max_row, min_col, max_col
+
+
+# --- the recognizer ------------------------------------------------------------
+
+
+class OpticalMusicRecognizer:
+    """Score segmentation + geometry (reference omr.py:306-697)."""
+
+    def __init__(self, note_detector=None, system_detector=None,
+                 bar_detector=None):
+        self.note_detector = note_detector
+        self.system_detector = system_detector
+        self.bar_detector = bar_detector
+        self.primitive_detector = {}
+        self.primitive_detector_ch = {}
+        self.primitive_channel_mapping = {}
+
+    def add_primitives_detector(self, primitives, detector=None,
+                                detector_ch=None):
+        if not isinstance(primitives, list):
+            primitives = [primitives]
+        for channel, primitive in enumerate(primitives):
+            self.primitive_detector[primitive] = detector
+            self.primitive_detector_ch[primitive] = detector_ch
+            self.primitive_channel_mapping[primitive] = channel
+
+    def detect_systems(self, image: np.ndarray, verbose: bool = False
+                       ) -> np.ndarray:
+        """-> [N, 4, 2] corner arrays (TL, TR, BR, BL) of staff systems."""
+        import cv2
+
+        MIN_AREA = 50000
+        if image.ndim == 2:
+            image = image[None, None]
+        system_probs = self.system_detector.predict_proba(image)
+
+        # clean up space between systems via the barline projection
+        if self.bar_detector:
+            bar_probs = self.bar_detector.predict_proba(image)
+            projection = bar_probs.sum(1)
+        else:
+            projection = system_probs.sum(1)
+        thresh = otsu_threshold(projection)
+        space_indices = np.nonzero(projection < thresh)[0]
+        if len(space_indices):
+            start_idx = prev_idx = space_indices[0]
+            for idx in space_indices[1:]:
+                if (idx - prev_idx) == 1:
+                    prev_idx = idx
+                else:
+                    if prev_idx - start_idx > 15:
+                        system_probs[start_idx:prev_idx, :] = 0
+                    start_idx = prev_idx = idx
+            if prev_idx - start_idx > 15:
+                system_probs[start_idx:prev_idx, :] = 0
+
+        fg_img = system_probs > otsu_threshold(system_probs)
+        kernel = np.ones((15, 1), np.uint8)
+        fg_img = cv2.morphologyEx(fg_img.astype(np.uint8), cv2.MORPH_CLOSE,
+                                  kernel)
+
+        label_img, regions = labeled_regions(fg_img)
+        detected = []
+        for blob in regions:
+            if blob.area < MIN_AREA:
+                continue
+            bbox = self._shrink_bounding_box(label_img == blob.label,
+                                             blob.bbox)
+            min_row, min_col, max_row, max_col = bbox
+            min_row, max_row, min_col, max_col = snap_system_to_grid(
+                image[0, 0], min_row, max_row, min_col, max_col)
+            detected.append([[min_row, min_col], [min_row, max_col],
+                             [max_row, max_col], [max_row, min_col]])
+        detected = np.asarray(detected, float).reshape(-1, 4, 2)
+        # top-to-bottom reading order
+        if len(detected):
+            detected = detected[np.argsort(detected[:, 0, 0])]
+        return detected
+
+    def detect_bars(self, image: np.ndarray, systems=None,
+                    verbose: bool = False) -> np.ndarray:
+        """-> [N, 2, 2] bar line segments (top/bottom points)."""
+        MIN_LENGTH = 80
+        ANGLE_TOL = 5
+        MIN_ECC = 0.95
+        if image.ndim == 2:
+            image = image[None, None]
+        bar_probs = self.bar_detector.predict_proba(image)
+        fg_img = bar_probs > otsu_threshold(bar_probs)
+        _, regions = labeled_regions(fg_img)
+
+        detected = []
+        for blob in regions:
+            if blob.major_axis_length < MIN_LENGTH:
+                continue
+            if abs(90 - abs(math.degrees(blob.orientation))) > ANGLE_TOL:
+                continue
+            if blob.eccentricity < MIN_ECC:
+                continue
+            min_row, min_col, max_row, max_col = blob.bbox
+            col = np.mean([min_col, max_col])
+            detected.append([[min_row, col], [max_row, col]])
+        detected_bars = np.asarray(detected, float).reshape(-1, 2, 2)
+
+        if systems is not None and len(detected_bars):
+            bars_by_system = self._bars_by_systems(detected_bars, systems)
+            out = []
+            for i_sys, bars in enumerate(bars_by_system):
+                if len(bars) == 0:
+                    continue
+                # add missing leading/trailing bars (omr.py:386-403)
+                if abs(bars[0, 0, 1] - systems[i_sys, 0, 1]) > 10:
+                    missing = np.asarray(
+                        [[systems[i_sys, 0, 0], systems[i_sys, 0, 1]],
+                         [systems[i_sys, 3, 0], systems[i_sys, 0, 1]]])
+                    bars = np.vstack((missing[None], bars))
+                if abs(bars[-1, 0, 1] - systems[i_sys, 1, 1]) > 10:
+                    missing = np.asarray(
+                        [[systems[i_sys, 1, 0], systems[i_sys, 1, 1]],
+                         [systems[i_sys, 2, 0], systems[i_sys, 1, 1]]])
+                    bars = np.vstack((bars, missing[None]))
+                for bar in bars:
+                    bar[0, 0] = systems[i_sys, 0, 0]
+                    bar[1, 0] = systems[i_sys, 3, 0]
+                    out.append(bar)
+            detected_bars = np.asarray(out, float).reshape(-1, 2, 2)
+        return detected_bars
+
+    def detect_notes(self, image: np.ndarray, threshold_abs: float = 0.5,
+                     min_distance: int = 3, verbose: bool = False
+                     ) -> np.ndarray:
+        """-> [N, 2] (row, col) note-head coordinates."""
+        if image.ndim == 2:
+            image = image[None, None]
+        note_probs = self.note_detector.predict_proba(image)
+        return peak_local_max_2d(note_probs, min_distance=min_distance,
+                                 threshold_abs=threshold_abs)
+
+    def detect_primitives(self, image: np.ndarray, primitive: str,
+                          threshold_abs: float = 0.5, kernel_size: int = 3,
+                          detector: str = "mask", verbose: bool = False,
+                          return_labels: bool = False):
+        """General primitive detector (omr.py:549-647): centroids of
+        thresholded probability-map blobs, optionally via a convex-hull
+        channel with morphological closing."""
+        import cv2
+
+        if image.ndim == 2:
+            image = image[None, None]
+
+        binary = binary_ch = None
+        if detector in ("mask", "combined"):
+            prob_map = self.primitive_detector[primitive].predict_proba(
+                image, squeeze=False)[0]
+            prob_map = prob_map[self.primitive_channel_mapping[primitive]] \
+                if prob_map.ndim == 3 else prob_map
+            binary = prob_map > threshold_abs
+        if detector in ("conv_hull", "combined"):
+            prob_ch = self.primitive_detector_ch[primitive].predict_proba(
+                image, squeeze=False)[0]
+            prob_ch = prob_ch[self.primitive_channel_mapping[primitive]] \
+                if prob_ch.ndim == 3 else prob_ch
+            binary_ch = (prob_ch > threshold_abs).astype(np.uint8)
+            if kernel_size > 0:
+                kernel = cv2.getStructuringElement(
+                    cv2.MORPH_ELLIPSE, (kernel_size, kernel_size))
+                binary_ch = cv2.morphologyEx(binary_ch, cv2.MORPH_CLOSE,
+                                             kernel)
+
+        if detector in ("conv_hull", "combined"):
+            label_img, _ = labeled_regions(binary_ch)
+            if detector == "combined":
+                label_img = binary.astype(np.int64) * label_img
+        else:
+            label_img, _ = labeled_regions(binary)
+
+        _, regions = labeled_regions(label_img > 0)
+        centroids = []
+        for r in regions:
+            if r.area <= 1:
+                continue
+            centroids.append(r.centroid)
+        centroids = np.asarray(centroids).reshape(-1, 2)
+        if return_labels:
+            return centroids, label_img
+        return centroids
+
+    @staticmethod
+    def _shrink_bounding_box(fg_img: np.ndarray, bbox, density: float = 0.9):
+        """Shrink a bbox until its border rows/cols are mostly foreground
+        (omr.py:649-672)."""
+        min_row, min_col, max_row, max_col = bbox
+        max_row = min(max_row, fg_img.shape[0] - 1)
+        max_col = min(max_col, fg_img.shape[1] - 1)
+        min_row, min_col = max(min_row, 0), max(min_col, 0)
+        while (min_row < max_row
+               and np.mean(fg_img[min_row, min_col:max_col]) < density):
+            min_row += 1
+        while (max_row > min_row
+               and np.mean(fg_img[max_row, min_col:max_col]) < density):
+            max_row -= 1
+        while (min_col < max_col
+               and np.mean(fg_img[min_row:max_row, min_col]) < density):
+            min_col += 1
+        while (max_col > min_col
+               and np.mean(fg_img[min_row:max_row, max_col]) < density):
+            max_col -= 1
+        return min_row, min_col, max_row, max_col
+
+    @staticmethod
+    def _bars_by_systems(page_bars: np.ndarray, page_systems: np.ndarray):
+        """Assign bars to the vertically closest system (omr.py:674-697)."""
+        sys_centers = page_systems.mean(1)[:, 0:1]
+        bar_centers = page_bars.mean(1)[:, 0:1]
+        dists = np.abs(bar_centers - sys_centers.T)
+        bars_by_system = [np.zeros((0, 2, 2)) for _ in
+                          range(page_systems.shape[0])]
+        for i in range(dists.shape[0]):
+            min_idx = int(np.argmin(dists[i]))
+            bars_by_system[min_idx] = np.vstack(
+                (bars_by_system[min_idx], page_bars[i][None]))
+        for i in range(page_systems.shape[0]):
+            order = np.argsort(bars_by_system[i][:, 0, 1])
+            bars_by_system[i] = bars_by_system[i][order]
+        return bars_by_system

@@ -1,0 +1,129 @@
+"""Segmentation inference over arbitrary page sizes.
+
+Parity with reference:sheet_utils/omr.py:200-303 (SegmentationNetwork):
+direct prediction when the page matches the training shape; otherwise
+sliding-window tiles with sqrt-Hamming blending, normalized by the summed
+window weights, cropped back to the page.
+
+TPU-first: all tiles are gathered into ONE batch, run through the U-Net in a
+single jitted call, and blended with a weighted scatter-add on device — the
+reference looped tile-by-tile through a per-tile compiled function.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audio_sheet_retrieval_tpu.models import unet
+
+
+def prepare_image(img: np.ndarray) -> np.ndarray:
+    """Normalize a page image to [0, 1] float (reference omr.py:16-20)."""
+    img = img.astype(np.float32)
+    if img.max() != 0:
+        img /= img.max()
+    return img
+
+
+@functools.partial(jax.jit, static_argnames=("tile_h", "tile_w", "out_h",
+                                             "out_w"))
+def _tiled_predict(params, image: jnp.ndarray, row0: jnp.ndarray,
+                   col0: jnp.ndarray, ham2d: jnp.ndarray,
+                   tile_h: int, tile_w: int, out_h: int, out_w: int):
+    """image [H, W] (padded); (row0, col0) tile corner lists (equal length).
+    Returns the blended probability map [H, W]."""
+    n_tiles = row0.shape[0]
+
+    def gather(i):
+        return jax.lax.dynamic_slice(image, (row0[i], col0[i]),
+                                     (tile_h, tile_w))
+
+    tiles = jax.vmap(gather)(jnp.arange(n_tiles))[..., None]  # [T, h, w, 1]
+    probs = unet.unet_apply(params, tiles)                    # [T, h, w]
+    weighted = probs * ham2d[None]
+
+    R = jnp.zeros((out_h, out_w), jnp.float32)
+    V = jnp.zeros((out_h, out_w), jnp.float32)
+
+    def body(i, carry):
+        R, V = carry
+        R = jax.lax.dynamic_update_slice(
+            R, jax.lax.dynamic_slice(R, (row0[i], col0[i]),
+                                     (tile_h, tile_w)) + weighted[i],
+            (row0[i], col0[i]))
+        V = jax.lax.dynamic_update_slice(
+            V, jax.lax.dynamic_slice(V, (row0[i], col0[i]),
+                                     (tile_h, tile_w)) + ham2d,
+            (row0[i], col0[i]))
+        return R, V
+
+    R, V = jax.lax.fori_loop(0, n_tiles, body, (R, V))
+    return R / V
+
+
+class SegmentationNetwork:
+    """U-Net predictor with sliding-window blending for large pages."""
+
+    def __init__(self, params, input_shape: Tuple[int, int] = (512, 512)):
+        self.params = params
+        self.input_shape = tuple(input_shape)
+        self._direct = jax.jit(unet.unet_apply)
+
+    @classmethod
+    def load(cls, path: str, input_shape: Tuple[int, int] = (512, 512)):
+        return cls(unet.load_unet_checkpoint(path), input_shape)
+
+    def predict_proba(self, image: np.ndarray, squeeze: bool = True,
+                      overlap: float = 0.5) -> np.ndarray:
+        """[H, W] or [N, 1, H, W] float image -> probability map."""
+        image = np.asarray(image, np.float32)
+        if image.ndim == 2:
+            image = image[None, None]
+        n, _, h, w = image.shape
+        sh, sw = self.input_shape
+
+        if (h, w) == (sh, sw):
+            proba = np.asarray(self._direct(
+                self.params, jnp.asarray(image[:, 0, :, :, None])))
+        else:
+            proba = np.stack([self._sliding(image[i, 0], overlap)
+                              for i in range(n)])
+        if squeeze:
+            proba = proba.squeeze()
+        return proba
+
+    def predict(self, image: np.ndarray, thresh: float = 0.5) -> np.ndarray:
+        return (self.predict_proba(image, squeeze=True) > thresh)
+
+    def _sliding(self, img: np.ndarray, overlap: float) -> np.ndarray:
+        h, w = img.shape
+        sh, sw = self.input_shape
+        missing_h = int(sh * np.ceil(h / sh) - h)
+        missing_w = int(sw * np.ceil(w / sw) - w)
+        pad_top, pad_left = missing_h // 2, missing_w // 2
+        pad_bottom, pad_right = missing_h - pad_top, missing_w - pad_left
+        padded = np.pad(img, ((pad_top, pad_bottom), (pad_left, pad_right)),
+                        mode="constant")
+
+        step_h = int(sh * (1.0 - overlap))
+        step_w = int(sw * (1.0 - overlap))
+        row0 = np.arange(0, padded.shape[0] - sh + 1, step_h, np.int32)
+        col0 = np.arange(0, padded.shape[1] - sw + 1, step_w, np.int32)
+        rr, cc = np.meshgrid(row0, col0, indexing="ij")
+
+        ham2d = np.sqrt(np.outer(np.hamming(sh), np.hamming(sw))
+                        ).astype(np.float32)
+
+        blended = _tiled_predict(
+            self.params, jnp.asarray(padded),
+            jnp.asarray(rr.ravel()), jnp.asarray(cc.ravel()),
+            jnp.asarray(ham2d), sh, sw,
+            int(padded.shape[0]), int(padded.shape[1]))
+        out = np.asarray(blended)
+        return out[pad_top:padded.shape[0] - pad_bottom,
+                   pad_left:padded.shape[1] - pad_right]

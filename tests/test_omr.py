@@ -1,0 +1,170 @@
+"""OMR subsystem: U-Net import/apply, sliding-window blending, detectors."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from audio_sheet_retrieval_tpu.models import unet
+from audio_sheet_retrieval_tpu.omr import detectors, inference
+
+OMR_DIR = "/root/reference/audio_sheet_retrieval/sheet_utils/omr_models"
+PAGE = "/root/reference/tutorials/sheet_image.png"
+
+
+def _random_unet_params(key=0):
+    """Small random U-Net in the exact checkpoint layout."""
+    rng = np.random.default_rng(key)
+    arrays = []
+
+    def conv_bn(cin, cout, k=3):
+        arrays.append(rng.standard_normal((cout, cin, k, k)).astype("f") * 0.2)
+        arrays.append(np.zeros(cout, "f"))
+        arrays.append(np.ones(cout, "f"))
+        arrays.append(np.zeros(cout, "f"))
+        arrays.append(np.ones(cout, "f"))
+
+    def bn(c):
+        arrays.append(np.zeros(c, "f"))
+        arrays.append(np.ones(c, "f"))
+        arrays.append(np.zeros(c, "f"))
+        arrays.append(np.ones(c, "f"))
+
+    for cin, cout in [(1, 8), (8, 8), (8, 16), (16, 16), (16, 32), (32, 32),
+                      (32, 64), (64, 64)]:
+        conv_bn(cin, cout)
+    for cin, cout in [(64, 32), (32, 16), (16, 8)]:
+        arrays.append(rng.standard_normal((cin, cout, 2, 2)).astype("f") * 0.2)
+        bn(cout)
+        bn(cout)
+        conv_bn(cout, cout)
+        conv_bn(cout, cout)
+    arrays.append(rng.standard_normal((1, 8, 1, 1)).astype("f"))
+    arrays.append(np.zeros(1, "f"))
+    return unet.import_unet_params(arrays)
+
+
+def test_unet_apply_shapes_and_range():
+    params = _random_unet_params()
+    x = jnp.asarray(np.random.default_rng(0).random((2, 64, 96, 1)), jnp.float32)
+    y = np.asarray(unet.unet_apply(params, x))
+    assert y.shape == (2, 64, 96)
+    assert (y >= 0).all() and (y <= 1).all()
+
+
+def test_tconv_matches_manual_expansion():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.random((1, 3, 4, 2)), jnp.float32)
+    w = jnp.asarray(rng.random((2, 5, 2, 2)), jnp.float32)  # (Cin,Cout,2,2)
+    y = np.asarray(unet._tconv2x2(x, w))
+    assert y.shape == (1, 6, 8, 5)
+    xn = np.asarray(x)
+    wn = np.asarray(w)
+    for i in range(3):
+        for j in range(4):
+            for k in range(2):
+                for l in range(2):
+                    want = np.einsum("c,co->o", xn[0, i, j], wn[:, :, k, l])
+                    np.testing.assert_allclose(y[0, 2 * i + k, 2 * j + l],
+                                               want, atol=1e-5)
+
+
+def test_sliding_window_matches_direct_on_training_shape():
+    params = _random_unet_params(2)
+    net = inference.SegmentationNetwork(params, input_shape=(64, 64))
+    img = np.random.default_rng(3).random((64, 64)).astype(np.float32)
+    direct = net.predict_proba(img)
+    # same image through the sliding path (force by off-size pad then crop)
+    slid = net._sliding(img, overlap=0.5)
+    np.testing.assert_allclose(slid, direct, atol=1e-4)
+
+
+def test_sliding_window_larger_image_blends_smoothly():
+    params = _random_unet_params(4)
+    net = inference.SegmentationNetwork(params, input_shape=(64, 64))
+    img = np.random.default_rng(5).random((150, 200)).astype(np.float32)
+    out = net.predict_proba(img)
+    assert out.shape == (150, 200)
+    assert np.isfinite(out).all()
+    assert (out >= 0).all() and (out <= 1.0 + 1e-6).all()
+
+
+def test_otsu_bimodal():
+    rng = np.random.default_rng(6)
+    vals = np.concatenate([rng.normal(0.1, 0.02, 1000),
+                           rng.normal(0.9, 0.02, 500)])
+    t = detectors.otsu_threshold(vals)
+    # any threshold inside the empty gap separates the modes (argmax of the
+    # flat between-class variance lands just past the lower cluster)
+    assert 0.13 < t < 0.87
+    assert ((vals < t).sum(), (vals >= t).sum()) == (1000, 500)
+
+
+def test_labeled_regions_geometry():
+    img = np.zeros((100, 100), bool)
+    img[10:90, 48:52] = True   # vertical bar
+    img[5:9, 5:60] = True      # horizontal blob
+    _, regions = detectors.labeled_regions(img)
+    assert len(regions) == 2
+    bar = max(regions, key=lambda r: r.major_axis_length)
+    import math
+
+    assert abs(90 - abs(math.degrees(bar.orientation))) < 2
+    assert bar.eccentricity > 0.95
+    assert bar.major_axis_length > 75
+
+
+def test_peak_local_max_2d():
+    img = np.zeros((50, 50), np.float32)
+    img[10, 10] = 1.0
+    img[30, 40] = 0.8
+    img[30, 42] = 0.7  # suppressed by min_distance
+    coords = detectors.peak_local_max_2d(img, min_distance=3,
+                                         threshold_abs=0.5)
+    assert [10, 10] in coords.tolist()
+    assert [30, 40] in coords.tolist()
+    assert [30, 42] not in coords.tolist()
+
+
+@pytest.mark.skipif(not os.path.exists(OMR_DIR), reason="reference absent")
+def test_real_system_detection_on_tutorial_page():
+    import cv2
+
+    img = cv2.imread(PAGE, 0)
+    img = cv2.resize(img, (835, int(835 / img.shape[1] * img.shape[0])))
+    prep = inference.prepare_image(img)
+    sysnet = inference.SegmentationNetwork.load(
+        os.path.join(OMR_DIR, "system_params.pkl"))
+    barnet = inference.SegmentationNetwork.load(
+        os.path.join(OMR_DIR, "bar_params.pkl"))
+    omr = detectors.OpticalMusicRecognizer(system_detector=sysnet,
+                                           bar_detector=barnet)
+    systems = omr.detect_systems(prep)
+    assert len(systems) == 6  # the tutorial page has six staves
+    heights = systems[:, 2, 0] - systems[:, 0, 0]
+    widths = systems[:, 1, 1] - systems[:, 0, 1]
+    assert (heights > 60).all() and (heights < 160).all()
+    assert (widths > 600).all()
+    # top-to-bottom order
+    assert (np.diff(systems[:, 0, 0]) > 0).all()
+
+
+@pytest.mark.skipif(not os.path.exists(OMR_DIR), reason="reference absent")
+def test_real_bar_detection_on_tutorial_page():
+    import cv2
+
+    img = cv2.imread(PAGE, 0)
+    img = cv2.resize(img, (835, int(835 / img.shape[1] * img.shape[0])))
+    prep = inference.prepare_image(img)
+    sysnet = inference.SegmentationNetwork.load(
+        os.path.join(OMR_DIR, "system_params.pkl"))
+    barnet = inference.SegmentationNetwork.load(
+        os.path.join(OMR_DIR, "bar_params.pkl"))
+    omr = detectors.OpticalMusicRecognizer(system_detector=sysnet,
+                                           bar_detector=barnet)
+    systems = omr.detect_systems(prep)
+    bars = omr.detect_bars(prep, systems=systems)
+    assert len(bars) >= 6  # at least one barline per system
