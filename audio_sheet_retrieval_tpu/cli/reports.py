@@ -116,6 +116,28 @@ def report_alignment(res_files):
     return rows
 
 
+def report_dset_size(out_path: str, splits: dict | None = None):
+    """MRR vs training-set-size table (reference eval_dset_size.py:43-76;
+    split yamls named e.g. all_split_{10,25,50,75,100}). Text output instead
+    of the pdf bar chart."""
+    splits = splits or {
+        "all_split_10": "10", "all_split_25": "25", "all_split_50": "50",
+        "all_split_75": "75", "all_split": "100",
+    }
+    rows = []
+    for split, label in splits.items():
+        eval_file = os.path.join(out_path,
+                                 f"eval_{split}_mutopia_no_aug_A2S.yaml")
+        if os.path.isfile(eval_file):
+            with open(eval_file, "rb") as fp:
+                res = yaml.safe_load(fp)
+            row = "%s%% train data: MRR %.3f med-rank %d" % (
+                label, res["map"], res["med_rank"])
+            print(row)
+            rows.append(row)
+    return rows
+
+
 def report_curves(log_file: str, watch: bool = False, interval: float = 10.0):
     """Text-mode training-curve report (reference utils/evaluate.py)."""
     while True:
@@ -146,6 +168,8 @@ def main(argv=None):
     p.add_argument("--out_path", required=True)
     p = sub.add_parser("alignment")
     p.add_argument("res_files", nargs="+")
+    p = sub.add_parser("dset-size")
+    p.add_argument("--out_path", required=True)
     p = sub.add_parser("curves")
     p.add_argument("log_file")
     p.add_argument("--watch", action="store_true")
@@ -157,6 +181,8 @@ def main(argv=None):
         return report_piece_retrieval(args.out_path)
     if args.cmd == "alignment":
         return report_alignment(args.res_files)
+    if args.cmd == "dset-size":
+        return report_dset_size(args.out_path)
     if args.cmd == "curves":
         return report_curves(args.log_file, watch=args.watch)
 

@@ -39,10 +39,17 @@ def _topk_query(gallery_nt: jnp.ndarray, valid: jnp.ndarray,
 
 
 class DeviceGallery:
-    """Padded device gallery over [N, d] codes with integer labels."""
+    """Padded device gallery over [N, d] codes with integer labels.
+
+    Two backends: the XLA matmul+lax.top_k path, and (for large galleries on
+    TPU) the Pallas streaming kernel (ops/topk_gallery.py) that never
+    materializes the [Q, N] score matrix in HBM.
+    """
+
+    PALLAS_MIN_ROWS = 200_000
 
     def __init__(self, codes: np.ndarray, ids: Optional[np.ndarray] = None,
-                 bucket: int = 2048):
+                 bucket: int = 2048, use_pallas: Optional[bool] = None):
         codes = np.asarray(codes, np.float32)
         n, d = codes.shape
         n_pad = max(bucket, int(np.ceil(n / bucket) * bucket))
@@ -51,17 +58,33 @@ class DeviceGallery:
         self.n = n
         # store normalized + transposed: the query matmul is [Q,d] @ [d,N]
         g = jnp.asarray(padded)
-        self.gallery_nt = jnp.transpose(_normalize(g))
+        self.gallery_n = _normalize(g)
+        self.gallery_nt = jnp.transpose(self.gallery_n)
         self.valid = jnp.arange(n_pad) < n
         self.ids = (np.asarray(ids, np.int64) if ids is not None
                     else np.arange(n, dtype=np.int64))
+        if use_pallas is None:
+            use_pallas = (jax.default_backend() == "tpu"
+                          and n >= self.PALLAS_MIN_ROWS)
+        self.use_pallas = use_pallas
 
     def topk(self, queries: np.ndarray, k: int
              ) -> Tuple[np.ndarray, np.ndarray]:
         """-> (distances [Q, k], gallery indices [Q, k])."""
         k = min(k, self.n)
-        d, i = _topk_query(self.gallery_nt, self.valid,
-                           jnp.atleast_2d(jnp.asarray(queries)), k)
+        q = jnp.atleast_2d(jnp.asarray(queries))
+        if self.use_pallas:
+            from audio_sheet_retrieval_tpu.ops.topk_gallery import (
+                topk_gallery,
+            )
+
+            qn = _normalize(q.astype(jnp.float32))
+            # padding rows are zero -> score 0; they only surface when the
+            # gallery has fewer than k positive-scoring rows, masked below
+            s, i = topk_gallery(qn, self.gallery_n[: len(self.valid)], k)
+            s = jnp.where(i < self.n, s, -jnp.inf)
+            return np.asarray(1.0 - s), np.asarray(i)
+        d, i = _topk_query(self.gallery_nt, self.valid, q, k)
         return np.asarray(d), np.asarray(i)
 
     def topk_ids(self, queries: np.ndarray, k: int

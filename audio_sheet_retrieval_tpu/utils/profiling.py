@@ -1,0 +1,71 @@
+"""Profiling / step-time instrumentation.
+
+The reference's only telemetry is a 5-sample updates/sec running average in
+the train progress bar (reference:utils/train_dcca_pool.py:216-231) and a
+10-frame fps meter in the streaming server (audio_sheet_server.py:202-207).
+This module adds first-class TPU tooling: JAX profiler traces (viewable in
+TensorBoard/XProf) and a lightweight step-time meter.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Optional
+
+import numpy as np
+
+
+@contextlib.contextmanager
+def trace(log_dir: str = "/tmp/asr_tpu_trace"):
+    """Capture a JAX profiler trace around a block of device work."""
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield log_dir
+    finally:
+        jax.profiler.stop_trace()
+
+
+class StepTimer:
+    """Running-average step timer (generalizes the reference 'ups' meter)."""
+
+    def __init__(self, window: int = 5):
+        self.times = np.zeros(window, np.float64)
+        self.n = 0
+        self._last: Optional[float] = None
+
+    def tick(self) -> float:
+        now = time.perf_counter()
+        if self._last is not None:
+            self.times[:-1] = self.times[1:]
+            self.times[-1] = now - self._last
+            self.n += 1
+        self._last = now
+        return self.steps_per_sec
+
+    @property
+    def steps_per_sec(self) -> float:
+        k = min(self.n, len(self.times))
+        if k == 0:
+            return 0.0
+        return 1.0 / max(self.times[-k:].mean(), 1e-12)
+
+    @property
+    def mean_step_time(self) -> float:
+        k = min(self.n, len(self.times))
+        return float(self.times[-k:].mean()) if k else 0.0
+
+
+def device_memory_stats() -> dict:
+    """Per-device memory stats where the backend exposes them."""
+    import jax
+
+    out = {}
+    for d in jax.devices():
+        try:
+            out[str(d)] = d.memory_stats()
+        except Exception:
+            out[str(d)] = None
+    return out

@@ -1,0 +1,21 @@
+"""Build libasraudio.so (native FLAC decoder). Usage: python build.py"""
+
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def build(verbose: bool = True) -> str:
+    src = os.path.join(HERE, "flac_decoder.cpp")
+    out = os.path.join(HERE, "libasraudio.so")
+    cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", "-o", out, src]
+    if verbose:
+        print(" ".join(cmd))
+    subprocess.run(cmd, check=True)
+    return out
+
+
+if __name__ == "__main__":
+    sys.exit(0 if os.path.exists(build()) else 1)
