@@ -11,6 +11,7 @@ import argparse
 import os
 
 import jax
+import numpy as np
 
 from audio_sheet_retrieval_tpu import config as cfg_mod
 from audio_sheet_retrieval_tpu.data.iterators import (
@@ -41,6 +42,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--max_epochs", type=int, default=None,
                         help="override the model's epoch budget")
     parser.add_argument("--exp_root", type=str, default=None)
+    parser.add_argument("--host_data", action="store_true",
+                        help="disable the device-resident data path (keep "
+                             "per-batch host preparation like the reference)")
     return parser
 
 
@@ -75,10 +79,28 @@ def main(argv=None):
         print("Loading model parameters from:", dump_file)
         params = load_any_checkpoint(dump_file, model_cfg)
 
-    train_batch_iter = MultiviewPoolIteratorUnsupervised(
-        batch_size=model_cfg.batch_size, k_samples=model_cfg.k_samples)
-    valid_batch_iter = MultiviewPoolIteratorUnsupervised(
-        batch_size=model_cfg.batch_size, shuffle=False)
+    if args.host_data:
+        train_batch_iter = MultiviewPoolIteratorUnsupervised(
+            batch_size=model_cfg.batch_size, k_samples=model_cfg.k_samples)
+        valid_batch_iter = MultiviewPoolIteratorUnsupervised(
+            batch_size=model_cfg.batch_size, shuffle=False)
+    else:
+        # device-resident data: pieces live in HBM, batches are jitted
+        # gathers with on-device augmentation (~40x faster train steps)
+        from audio_sheet_retrieval_tpu.data import device_pool as dpool
+
+        data = dict(
+            data,
+            train=dpool.from_host_pool(
+                data["train"], rng=np.random.default_rng(args.seed)),
+            valid=dpool.from_host_pool(
+                data["valid"], shuffle=False,
+                rng=np.random.default_rng(args.seed + 1)),
+        )
+        train_batch_iter = dpool.DeviceBatchIterator(
+            batch_size=model_cfg.batch_size, k_samples=model_cfg.k_samples)
+        valid_batch_iter = dpool.DeviceBatchIterator(
+            batch_size=model_cfg.batch_size, shuffle=False, train=False)
 
     best_params, best_map = engine.fit(
         params, data, model_cfg, train_batch_iter, valid_batch_iter,

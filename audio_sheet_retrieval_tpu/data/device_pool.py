@@ -1,0 +1,285 @@
+"""Device-resident training data: pieces in HBM, batches gathered on device.
+
+The reference prepares every training batch on the host (cv2 resize/crop per
+sample, utils/data_pools.py:127-228) and ships ~14 MB per 100-sample batch
+to the device. Here the complete dataset lives in device memory once:
+
+  * all unrolled strips concatenated into one [H, W_total] uint8 array with
+    2*context white margins between pieces (windows never cross pieces),
+  * all spectrograms concatenated into one [bins, T_total] float32 array
+    with context margins (edge-padded),
+  * entities reduced to two int32 vectors (absolute sheet x / spec t),
+    with the reference's edge behavior folded in at build time: windows of
+    entities near a piece boundary center on the clipped crop center, not
+    the note coordinate (data_pools.py:137-156 arithmetic).
+
+A batch is then two gathers + the augmentation math, all inside jit:
+
+  * sheet: one fused sampling-grid gather implements crop + random scale
+    (0.95-1.05, nearest like cv2 INTER_NEAREST) + vertical translation
+    jitter in a single lookup,
+  * spec: window gather with onset jitter and the spec_padding frequency
+    shift (edge-clamp == the reference's edge padding).
+
+Host->device traffic per batch: 2 x [B] int32 index vectors + a PRNG key.
+MSMD-scale datasets fit comfortably (strips ~1-2 GB uint8, specs <1 GB).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audio_sheet_retrieval_tpu.data.pools import (
+    NO_AUGMENT,
+    SHEET_CONTEXT,
+    SPEC_CONTEXT,
+    SYSTEM_HEIGHT,
+)
+
+
+def _make_assemble(aug: Dict, ctx: int, sh: int, spec_ctx: int,
+                   strip_h: int, bins: int, train: bool):
+    """Build the jitted batch-assembly fn(strip, spec, coords, onsets, key)."""
+    sc = aug.get("sheet_scaling") if train else None
+    use_scale = bool(sc) and list(sc) != [1.0, 1.0]
+    t_amp = int(aug.get("system_translation", 0)) if train else 0
+    o_amp = int(aug.get("onset_translation", 0)) if train else 0
+    p_roll = int(aug.get("spec_padding", 0)) if train else 0
+
+    @jax.jit
+    def assemble(strip, spec, coords, onsets, key):
+        B = coords.shape[0]
+        k_scale, k_trans, k_onset, k_roll = jax.random.split(key, 4)
+
+        # --- sheet: fused scale/translate/crop via a sampling grid ----------
+        if use_scale:
+            scale = jax.random.uniform(k_scale, (B,), minval=sc[0],
+                                       maxval=sc[1])
+        else:
+            scale = jnp.ones((B,))
+        if t_amp:
+            trans = jax.random.randint(k_trans, (B,), -t_amp, t_amp + 1)
+        else:
+            trans = jnp.zeros((B,), jnp.int32)
+
+        ii = jnp.arange(sh, dtype=jnp.float32)[None, :, None]   # [1, sh, 1]
+        jj = jnp.arange(ctx, dtype=jnp.float32)[None, None, :]  # [1, 1, ctx]
+        inv_s = (1.0 / scale)[:, None, None]
+        cy = strip_h / 2.0
+        rows = cy + (ii - sh / 2.0 + trans[:, None, None]) * inv_s
+        cols = coords[:, None, None] + (jj - ctx / 2.0) * inv_s
+        rows = jnp.clip(jnp.round(rows).astype(jnp.int32), 0, strip_h - 1)
+        cols = jnp.clip(jnp.round(cols).astype(jnp.int32), 0,
+                        strip.shape[1] - 1)
+        sheet_batch = strip[rows, cols].astype(jnp.float32)  # [B, sh, ctx]
+
+        # --- spec: window gather with onset jitter + frequency shift --------
+        if o_amp:
+            onsets_j = onsets + jax.random.randint(k_onset, (B,), -o_amp,
+                                                   o_amp + 1)
+        else:
+            onsets_j = onsets
+        t0 = onsets_j - spec_ctx // 2
+        tt = jnp.clip(t0[:, None] + jnp.arange(spec_ctx)[None, :], 0,
+                      spec.shape[1] - 1)
+        if p_roll:
+            shift = jax.random.randint(k_roll, (B,), 0, p_roll) - p_roll
+            ff = jnp.clip(jnp.arange(bins)[None, :] + shift[:, None], 0,
+                          bins - 1)
+            spec_batch = spec[ff[:, :, None], tt[:, None, :]]
+        else:
+            spec_batch = spec[:, tt].transpose(1, 0, 2)
+
+        return sheet_batch[:, None, :, :], spec_batch[:, None, :, :]
+
+    return assemble
+
+
+class DevicePool:
+    """HBM-resident (strips, specs, entities) with jitted batch assembly."""
+
+    def __init__(
+        self,
+        images: Sequence[np.ndarray],
+        specs: Sequence[Sequence[np.ndarray]],
+        o2c_maps: Sequence[Sequence[np.ndarray]],
+        spec_context: int = SPEC_CONTEXT,
+        sheet_context: int = SHEET_CONTEXT,
+        staff_height: int = SYSTEM_HEIGHT,
+        data_augmentation: Optional[Dict] = None,
+        rng: Optional[np.random.Generator] = None,
+        shuffle: bool = True,
+    ):
+        self.spec_context = spec_context
+        self.sheet_context = sheet_context
+        self.staff_height = staff_height
+        self.data_augmentation = dict(data_augmentation or NO_AUGMENT)
+        self.rng = rng if rng is not None else np.random.default_rng()
+        self.shuffle = shuffle
+
+        margin_x = 2 * sheet_context
+        margin_t = spec_context
+
+        # ---- concatenate strips with white margins ---------------------------
+        strip_h = max(im.shape[0] for im in images)
+        parts: List[np.ndarray] = []
+        sheet_offsets = []
+        x = 0
+        for im in images:
+            pad_rows = strip_h - im.shape[0]
+            im = np.pad(im, ((0, pad_rows), (0, 0)), mode="edge")
+            parts.append(np.full((strip_h, margin_x), 255, np.uint8))
+            x += margin_x
+            sheet_offsets.append(x)
+            parts.append(im.astype(np.uint8))
+            x += im.shape[1]
+        parts.append(np.full((strip_h, margin_x), 255, np.uint8))
+        big_strip = np.concatenate(parts, axis=1)
+
+        # ---- concatenate spectrograms with edge margins ----------------------
+        bins = specs[0][0].shape[0]
+        sparts: List[np.ndarray] = []
+        spec_offsets: List[List[int]] = []
+        t = 0
+        for piece_specs in specs:
+            offs = []
+            for sp in piece_specs:
+                sparts.append(np.repeat(sp[:, :1], margin_t, axis=1))
+                t += margin_t
+                offs.append(t)
+                sparts.append(np.asarray(sp, np.float32))
+                t += sp.shape[1]
+            spec_offsets.append(offs)
+        sparts.append(np.zeros((bins, margin_t), np.float32))
+        big_spec = np.concatenate(sparts, axis=1)
+
+        # ---- entity index (reference bound filtering + edge centering) -------
+        coords_abs, onsets_abs = [], []
+        half_c, half_o = sheet_context // 2, spec_context // 2
+        for i_sheet, sheet in enumerate(images):
+            W = sheet.shape[1]
+            for i_spec, spec in enumerate(specs[i_sheet]):
+                T = spec.shape[1]
+                m = np.asarray(o2c_maps[i_sheet][i_spec])
+                for onset, coord in m:
+                    onset, coord = int(onset), int(coord)
+                    o_start = onset - half_o
+                    c_start = coord - half_c
+                    c_stop = o_start + sheet_context  # reference quirk
+                    if not (o_start >= 0 and o_start + spec_context < T
+                            and c_start >= 0 and c_stop < W):
+                        continue
+                    # reference edge behavior: the window centers on the
+                    # clipped 4*context crop center (data_pools.py:137-156)
+                    c_eff = int(np.clip(coord, 2 * sheet_context,
+                                        max(2 * sheet_context,
+                                            W - 2 * sheet_context)))
+                    # spec window clamp (data_pools.py:186-189)
+                    o_eff = int(np.clip(onset, half_o, T - 1 - spec_context
+                                        + half_o))
+                    coords_abs.append(sheet_offsets[i_sheet] + c_eff)
+                    onsets_abs.append(spec_offsets[i_sheet][i_spec] + o_eff)
+        self.entity_coords = np.asarray(coords_abs, np.int32)
+        self.entity_onsets = np.asarray(onsets_abs, np.int32)
+        self.shape = [len(self.entity_coords)]
+        self._order = np.arange(self.shape[0])
+        if shuffle:
+            self.reset_batch_generator()
+
+        self.strip = jax.device_put(big_strip)
+        self.spec = jax.device_put(big_spec)
+        self.strip_h = strip_h
+        self.bins = bins
+        self._key = jax.random.PRNGKey(int(self.rng.integers(2 ** 31)))
+        self._assemble = {
+            True: _make_assemble(self.data_augmentation, sheet_context,
+                                 staff_height, spec_context, strip_h, bins,
+                                 train=True),
+            False: _make_assemble(self.data_augmentation, sheet_context,
+                                  staff_height, spec_context, strip_h, bins,
+                                  train=False),
+        }
+
+    def reset_batch_generator(self):
+        self._order = self.rng.permutation(self.shape[0])
+
+    def next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def batch(self, idx: np.ndarray, train: bool = True):
+        """Assemble a batch for entity positions ``idx`` (in the current
+        shuffled order) -> device arrays ([B,1,sh,ctx] raw-range sheets,
+        [B,1,bins,spec_ctx] spectrogram excerpts)."""
+        sel = self._order[np.asarray(idx)]
+        coords = jnp.asarray(self.entity_coords[sel])
+        onsets = jnp.asarray(self.entity_onsets[sel])
+        return self._assemble[train](self.strip, self.spec, coords, onsets,
+                                     self.next_key())
+
+    def __getitem__(self, key):
+        """Pool-compatible slicing."""
+        if isinstance(key, int):
+            key = slice(key, key + 1)
+        if isinstance(key, slice):
+            idx = np.arange(*key.indices(self.shape[0]))
+        else:
+            idx = np.asarray(key)
+        x1, x2 = self.batch(idx, train=True)
+        return [x1, x2]
+
+
+def from_host_pool(pool, data_augmentation: Optional[Dict] = None,
+                   rng: Optional[np.random.Generator] = None,
+                   shuffle: bool = True) -> "DevicePool":
+    """Lift a host AudioScoreRetrievalPool's piece data onto the device."""
+    return DevicePool(
+        pool.images, pool.specs, pool.o2c_maps,
+        spec_context=pool.spec_context, sheet_context=pool.sheet_context,
+        staff_height=pool.staff_height,
+        data_augmentation=(data_augmentation
+                           if data_augmentation is not None
+                           else pool.data_augmentation),
+        rng=rng, shuffle=shuffle)
+
+
+class DeviceBatchIterator:
+    """Drop-in replacement for MultiviewPoolIteratorUnsupervised over a
+    DevicePool: same k_samples sub-epoch / wrap-around / reshuffle semantics,
+    but yields device-resident batches (host sends only index vectors)."""
+
+    def __init__(self, batch_size: int, k_samples: Optional[int] = None,
+                 shuffle: bool = True, train: bool = True):
+        self.batch_size = batch_size
+        self.k_samples = k_samples
+        self.shuffle = shuffle
+        self.train = train
+        self.epoch_counter = 0
+        self.n_epochs = None
+
+    def __call__(self, pool: DevicePool):
+        self.pool = pool
+        if self.k_samples is None or self.k_samples > pool.shape[0]:
+            self.k_samples = pool.shape[0]
+        self.n_batches = self.k_samples // self.batch_size
+        self.n_epochs = max(1, pool.shape[0] // self.k_samples)
+        return self
+
+    def __iter__(self):
+        bs = self.batch_size
+        n = self.pool.shape[0]
+        idx_epoch = self.epoch_counter % self.n_epochs
+        base = idx_epoch * self.k_samples
+        for i in range((self.k_samples + bs - 1) // bs):
+            idx = np.arange(base + i * bs, base + (i + 1) * bs)
+            # wrap-around fill (batch_iterators.py:204-211)
+            idx = np.where(idx < n, idx, idx - n)
+            yield self.pool.batch(idx, train=self.train)
+        self.epoch_counter += 1
+        if self.shuffle and (idx_epoch + 1) == self.n_epochs:
+            self.pool.reset_batch_generator()

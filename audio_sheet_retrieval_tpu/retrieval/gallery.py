@@ -32,8 +32,9 @@ def _topk_query(gallery_nt: jnp.ndarray, valid: jnp.ndarray,
                 queries: jnp.ndarray, k: int):
     q = _normalize(queries.astype(jnp.float32))
     scores = jnp.dot(q, gallery_nt, preferred_element_type=jnp.float32)
-    # invalid (padding) rows get -inf score == +inf distance
-    scores = jnp.where(valid[None, :], scores, -jnp.inf)
+    # invalid (padding) rows get -inf score == +inf distance; NaN queries
+    # (e.g. an untrained zero projection) must not leak padding indices
+    scores = jnp.where(valid[None, :] & ~jnp.isnan(scores), scores, -jnp.inf)
     top_scores, top_idx = jax.lax.top_k(scores, k)
     return 1.0 - top_scores, top_idx
 

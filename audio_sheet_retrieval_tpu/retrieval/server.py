@@ -314,18 +314,29 @@ class AudioSheetServer:
             n_candidates: int = 5, running_frames: Optional[int] = None,
             gui: bool = False, target_piece: Optional[str] = None,
             max_frames: Optional[int] = None,
-            on_update: Optional[Callable] = None):
+            on_update: Optional[Callable] = None,
+            fig_dir: str = "figs"):
         """Streaming retrieval loop over spectrogram frames (:83-211).
 
-        Yields nothing; reports via ``on_update(frame_idx, ranking, votes,
-        fps)`` and an optional matplotlib GUI. ``spec=None`` would read a
-        microphone stream (unsupported in this environment — pass frames).
+        Reports via ``on_update(frame_idx, ranking, votes, fps)``; with
+        ``gui=True`` renders the dashboard (running spectrogram, music
+        probability, vote histogram) headlessly to ``fig_dir/%05d.png``
+        (the reference drew a live matplotlib window + savefig, :140-200).
+        ``spec=None`` would read a microphone stream (unsupported in this
+        environment — pass frames).
         """
         print("Running server ...")
         if spec is None:
             raise NotImplementedError(
                 "microphone streaming requires an audio input device; pass a "
                 "precomputed spectrogram")
+        if gui:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import os
+
+            os.makedirs(fig_dir, exist_ok=True)
         running_spec = np.zeros(self.spec_shape, np.float32)
         all_piece_ids = np.zeros(0, np.int64)
         frame_times = np.zeros(10)
@@ -351,6 +362,10 @@ class AudioSheetServer:
                 ranking = [self.id_to_piece[unique[i]] for i in order]
                 votes = counts[order].astype(float) / counts.sum()
 
+            if gui:
+                self._draw_dashboard(fig_dir, i_frame, running_spec, m_prob,
+                                     ranking, votes, target_piece)
+
             frame_times[1:] = frame_times[:-1]
             frame_times[0] = time.time() - start
             fps = 1.0 / max(frame_times.mean(), 1e-9)
@@ -361,3 +376,39 @@ class AudioSheetServer:
                 sys.stdout.flush()
         print("")
         return ranking, votes
+
+    def _draw_dashboard(self, fig_dir, i_frame, running_spec, m_prob,
+                        ranking, votes, target_piece):
+        """Headless version of the reference GUI (:140-200)."""
+        import matplotlib.gridspec as gridspec
+        import matplotlib.pyplot as plt
+
+        fig = plt.figure("SheetMusicRetrievalServer", figsize=(10, 7))
+        fig.clf()
+        gs = gridspec.GridSpec(2, 2, height_ratios=[1, 2])
+        plt.subplots_adjust(left=0.1, right=0.95, bottom=0.1, top=0.92,
+                            hspace=0.5)
+        plt.subplot(gs[0])
+        plt.title("Incoming Audio %d" % i_frame)
+        plt.imshow(running_spec, cmap="viridis", origin="lower",
+                   aspect="auto")
+        plt.axis("off")
+        plt.subplot(gs[1])
+        plt.title("Music Probability")
+        plt.bar([0.15], [m_prob], width=0.2)
+        plt.plot([0.0, 0.5], [0.5, 0.5], "-", linewidth=3, alpha=0.5)
+        plt.xlim([-0.1, 0.52])
+        plt.ylim([0, 1.05])
+        plt.axis("off")
+        plt.subplot(gs[2:])
+        plt.title("Piece Retrieval Ranking")
+        plt.ylabel("Piece Probability")
+        if len(ranking):
+            x = np.arange(len(ranking))
+            colors = ["tab:green" if r == target_piece else "tab:blue"
+                      for r in ranking]
+            plt.bar(x, votes[: len(ranking)], width=0.5, color=colors)
+            plt.xticks(x, ranking, rotation=15, fontsize=7)
+        plt.ylim([0, 1.0])
+        fig.savefig("%s/%05d.png" % (fig_dir, i_frame))
+        plt.close(fig)

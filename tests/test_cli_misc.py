@@ -1,0 +1,139 @@
+"""Config system, checkpoint format detection, reports, misc CLI plumbing."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+import yaml
+
+from audio_sheet_retrieval_tpu import config as cfg_mod
+from audio_sheet_retrieval_tpu.models.configs import get_model_config
+
+
+def test_experiment_config_loading():
+    exp = cfg_mod.load_experiment_config("exp_configs/mutopia_full_aug.yaml")
+    assert exp.sheet_context == 200 and exp.spec_bins == 92
+    assert exp.augment["system_translation"] == 5
+    assert exp.test_synth == "grand-piano-YDP-20160804"
+    # bare-name resolution against the shipped dir
+    exp2 = cfg_mod.load_experiment_config("mutopia_no_aug")
+    assert exp2.augment["sheet_scaling"] == [1.0, 1.0]
+    # None -> NO_AUGMENT defaults
+    exp3 = cfg_mod.load_experiment_config(None)
+    assert exp3.augment["synths"] == ["ElectricPiano"]
+
+
+def test_compile_tag():
+    assert cfg_mod.compile_tag("/a/all_split.yaml", "/b/mutopia_full_aug.yaml") \
+        == "all_split_mutopia_full_aug"
+    assert cfg_mod.compile_tag(None, None) is None
+
+
+def test_model_registry():
+    cfg = get_model_config("models/mutopia_ccal_cont.py")  # reference-style path
+    assert cfg.num_filters == 12 and cfg.sheet_downscale == 1
+    rsz = get_model_config("mutopia_ccal_cont_rsz")
+    assert rsz.num_filters == 24 and rsz.sheet_downscale == 2
+    assert rsz.patience == 30 and rsz.refinement_steps == 5
+    with pytest.raises(KeyError):
+        get_model_config("nope")
+
+
+def test_wrapper_loads_both_checkpoint_formats(tmp_path):
+    import jax
+
+    from audio_sheet_retrieval_tpu.models import cca_model, lasagne_import
+    from audio_sheet_retrieval_tpu.retrieval.wrapper import (
+        RetrievalWrapper,
+        load_any_checkpoint,
+    )
+    from audio_sheet_retrieval_tpu.utils import io as uio
+
+    cfg = get_model_config("mutopia_ccal_cont_rsz", num_filters=4,
+                           dim_latent=8)
+    params = cca_model.init_model(jax.random.PRNGKey(0), cfg)
+
+    native = str(tmp_path / "native.pkl")
+    uio.save_pytree(native, params)
+    p1 = load_any_checkpoint(native, cfg)
+
+    legacy = str(tmp_path / "legacy.pkl")
+    arrays = lasagne_import.export_lasagne_arrays(params)
+    with open(legacy, "wb") as fp:
+        pickle.dump(arrays, fp)
+    p2 = load_any_checkpoint(legacy, cfg)
+
+    for a, b in zip(np.asarray(p1.cca.U), np.asarray(p2.cca.U)):
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+    x = np.random.default_rng(0).random((3, 1, 160, 200)).astype(np.float32)
+    w1 = RetrievalWrapper(cfg, param_file=native)
+    w2 = RetrievalWrapper(cfg, param_file=legacy)
+    np.testing.assert_allclose(w1.compute_view_1(x), w2.compute_view_1(x),
+                               atol=1e-5)
+
+    with pytest.raises(ValueError):
+        bad = str(tmp_path / "bad.pkl")
+        with open(bad, "wb") as fp:
+            pickle.dump({"what": 1}, fp)
+        load_any_checkpoint(bad, cfg)
+
+
+def test_reports_retrieval_and_piece(tmp_path):
+    from audio_sheet_retrieval_tpu.cli import reports
+
+    out = str(tmp_path)
+    with open(os.path.join(out, "eval_all_split_mutopia_full_aug_A2S.yaml"),
+              "w") as fp:
+        yaml.safe_dump({"map": 0.51, "med_rank": 3.0,
+                        "recall_at_k": {"1": 31.2, "25": 88.8}}, fp)
+    rows = reports.report_retrieval(out, splits=["all_split"],
+                                    augs=["mutopia_full_aug"])
+    assert any("0.31" in r and "0.89" in r and "0.51" in r for r in rows)
+
+    with open(os.path.join(out,
+                           "retrieval_all_split_mutopia_full_aug_A2S.yaml"),
+              "w") as fp:
+        yaml.safe_dump([1, 1, 2, 7, 12], fp)
+    rows = reports.report_piece_retrieval(out, splits=["all_split"],
+                                          augs=["mutopia_full_aug"])
+    assert any("2 (0.40)" in r for r in rows)  # rank<=1 count
+
+    # alignment report
+    errs = {"p1": np.asarray([3.0, -10.0, 50.0])}
+    res_file = os.path.join(out, "alignment_res_x_pydtw.pkl")
+    with open(res_file, "wb") as fp:
+        pickle.dump(errs, fp)
+    rows = reports.report_alignment([res_file])
+    assert "median 10.0" in rows[0]
+
+
+def test_streaming_gui_renders_frames(tmp_path):
+    """server.run(gui=True) writes dashboard pngs headlessly."""
+    import jax
+
+    from audio_sheet_retrieval_tpu.data import synthetic
+    from audio_sheet_retrieval_tpu.models import cca_model
+    from audio_sheet_retrieval_tpu.retrieval.server import AudioSheetServer
+    from audio_sheet_retrieval_tpu.retrieval.wrapper import RetrievalWrapper
+
+    import jax.numpy as jnp
+
+    cfg = get_model_config("mutopia_ccal_cont_rsz", num_filters=4,
+                           dim_latent=8)
+    params = cca_model.init_model(jax.random.PRNGKey(0), cfg)
+    params = params._replace(cca=params.cca._replace(
+        U=jnp.eye(cfg.dim_latent), V=jnp.eye(cfg.dim_latent)))
+    wrapper = RetrievalWrapper(cfg, params=params, batch_size=10)
+    names = ["p0", "p1"]
+    images, specs, o2cs = synthetic.make_piece_list(3, 2, n_onsets=30)
+    srv = AudioSheetServer()
+    srv.initialize_embedding_network(wrapper)
+    srv.initialize_sheet_db(names,
+                            lambda n: (images[int(n[1])], specs[int(n[1])],
+                                       o2cs[int(n[1])]))
+    fig_dir = str(tmp_path / "figs")
+    srv.run(spec=specs[0][0][:, :50], gui=True, fig_dir=fig_dir,
+            max_frames=47, n_candidates=3, top_k=2)
+    assert len(os.listdir(fig_dir)) == 47
