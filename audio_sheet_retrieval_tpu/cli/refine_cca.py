@@ -39,18 +39,27 @@ def refine(params, cfg, data, n_train: int = 25000, batch_size: int = 100,
     n_train = min(n_train, data["train"].shape[0])
     X1, X2 = data["train"][0:n_train]
 
+    # params ride as jit arguments (closure constants bloat the program)
     @jax.jit
-    def pre1(x):
+    def pre1_p(view, x):
         h, _ = cca_model.enc.encoder_apply(
-            params.view1, prepare_view1_device(jnp.asarray(x), cfg),
-            train=False)
+            view, prepare_view1_device(x, cfg), train=False)
         return h
 
     @jax.jit
-    def pre2(x):
+    def pre2_p(view, x):
         h, _ = cca_model.enc.encoder_apply(
-            params.view2, prepare_view2_device(jnp.asarray(x)), train=False)
+            view, prepare_view2_device(x), train=False)
         return h
+
+    v1_dev = jax.device_put(params.view1)
+    v2_dev = jax.device_put(params.view2)
+
+    def pre1(x):
+        return pre1_p(v1_dev, jnp.asarray(x))
+
+    def pre2(x):
+        return pre2_p(v2_dev, jnp.asarray(x))
 
     if verbose:
         print("Computing train output (%d samples)..." % n_train)
@@ -85,6 +94,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
+    from audio_sheet_retrieval_tpu.utils.profiling import enable_compile_cache
+
+    enable_compile_cache()
     args = build_arg_parser().parse_args(argv)
     model_cfg = get_model_config(args.model)
     tag = cfg_mod.compile_tag(args.train_split, args.config)

@@ -43,6 +43,9 @@ def build_arg_parser():
 
 
 def main(argv=None):
+    from audio_sheet_retrieval_tpu.utils.profiling import enable_compile_cache
+
+    enable_compile_cache()
     args = build_arg_parser().parse_args(argv)
     model_cfg = get_model_config(args.model)
     tag = cfg_mod.compile_tag(args.train_split, args.config)

@@ -52,6 +52,9 @@ def resize_page(img: np.ndarray, width: int = 835) -> np.ndarray:
 
 
 def main(argv=None):
+    from audio_sheet_retrieval_tpu.utils.profiling import enable_compile_cache
+
+    enable_compile_cache()
     parser = argparse.ArgumentParser(description="Embedding tutorial pipeline.")
     parser.add_argument("--sheet", default="/root/reference/tutorials/sheet_image.png")
     parser.add_argument("--audio", default=None, help=".wav/.flac file")

@@ -37,6 +37,9 @@ def load_specs(piece_paths, audio_file: str):
 
 
 def main(argv=None):
+    from audio_sheet_retrieval_tpu.utils.profiling import enable_compile_cache
+
+    enable_compile_cache()
     parser = argparse.ArgumentParser(
         description="Sheet to audio retrieval on real sheet music.")
     parser.add_argument("--model", default="mutopia_ccal_cont_rsz")

@@ -234,6 +234,46 @@ class DevicePool:
         return [x1, x2]
 
 
+def make_epoch_runner(cfg, optimizer, pool: "DevicePool"):
+    """Fused sub-epoch trainer: ONE device dispatch runs all k_samples
+    batches via lax.scan (assemble + forward + CCA + loss + Adam per step).
+
+    Amortizes per-call dispatch latency (the axon tunnel degrades to ~26 ms
+    per dispatch after any device->host download; a scanned epoch costs one
+    dispatch for ~100 steps). Returns run_epoch(state, coords_mat [n, B],
+    onsets_mat [n, B], key) -> (state, losses [n], corrs [n, d]).
+    """
+    from audio_sheet_retrieval_tpu.train.engine import make_train_step
+
+    train_step = make_train_step(cfg, optimizer)
+    assemble = pool._assemble[True]
+
+    @jax.jit
+    def run_epoch(state, strip, spec, coords_mat, onsets_mat, key):
+        def body(carry, inputs):
+            st, k = carry
+            coords, onsets = inputs
+            k, sub = jax.random.split(k)
+            x1, x2 = assemble(strip, spec, coords, onsets, sub)
+            st, m = train_step(st, x1, x2)
+            return (st, k), (m["loss"], m["corr"])
+
+        (state, _), (losses, corrs) = jax.lax.scan(
+            body, (state, key), (coords_mat, onsets_mat))
+        return state, losses, corrs
+
+    def runner(state, entity_idx: np.ndarray, key=None):
+        """entity_idx: [n_batches, B] entity indices (see
+        DeviceBatchIterator.epoch_entity_indices)."""
+        coords = jnp.asarray(pool.entity_coords[entity_idx])
+        onsets = jnp.asarray(pool.entity_onsets[entity_idx])
+        if key is None:
+            key = pool.next_key()
+        return run_epoch(state, pool.strip, pool.spec, coords, onsets, key)
+
+    return runner
+
+
 def from_host_pool(pool, data_augmentation: Optional[Dict] = None,
                    rng: Optional[np.random.Generator] = None,
                    shuffle: bool = True) -> "DevicePool":
@@ -269,6 +309,24 @@ class DeviceBatchIterator:
         self.n_batches = self.k_samples // self.batch_size
         self.n_epochs = max(1, pool.shape[0] // self.k_samples)
         return self
+
+    def epoch_entity_indices(self) -> np.ndarray:
+        """[n_batches, B] ENTITY indices of the NEXT sub-epoch, resolved
+        through the current shuffle order BEFORE advancing the sub-epoch
+        counter / reshuffling (matches what iteration would have yielded)."""
+        bs = self.batch_size
+        n = self.pool.shape[0]
+        idx_epoch = self.epoch_counter % self.n_epochs
+        base = idx_epoch * self.k_samples
+        rows = []
+        for i in range((self.k_samples + bs - 1) // bs):
+            idx = np.arange(base + i * bs, base + (i + 1) * bs)
+            rows.append(np.where(idx < n, idx, idx - n))
+        entity_idx = self.pool._order[np.stack(rows)]
+        self.epoch_counter += 1
+        if self.shuffle and (idx_epoch + 1) == self.n_epochs:
+            self.pool.reset_batch_generator()
+        return entity_idx
 
     def __iter__(self):
         bs = self.batch_size

@@ -94,11 +94,13 @@ def import_retrieval_params(arrays: Sequence[np.ndarray],
         mean1=jnp.asarray(m1), mean2=jnp.asarray(m2),
         S12=jnp.asarray(s12), S11=jnp.asarray(s11), S22=jnp.asarray(s22),
     )
-    # sanity check the first conv against the model config
-    w0 = np.asarray(view1["blocks"][0]["w"])
-    if w0.shape[3] != cfg.num_filters:
+    # sanity check the first conv against the model config (checked on the
+    # host-side source array: a device->host download here would degrade
+    # dispatch latency for the whole process on tunneled backends)
+    n_filters = int(arrays[0].shape[0])  # OIHW
+    if n_filters != cfg.num_filters:
         raise ValueError(
-            f"checkpoint first-conv has {w0.shape[3]} filters but model "
+            f"checkpoint first-conv has {n_filters} filters but model "
             f"'{cfg.name}' expects {cfg.num_filters} — wrong model variant?"
         )
     return ModelParams(view1=view1, view2=view2, cca=cca)

@@ -38,10 +38,14 @@ def stride_starts(total: int, window: int, stride: int) -> np.ndarray:
 def make_strip_embedder(params, cfg, *, center_crop: int | None = None):
     """Sheet-strip -> window embeddings, fully fused on device.
 
-    Returns a jitted fn(strip_u8 [H, W], starts [N]) -> [N, dim] where the
-    strip is raw uint8; the vertical center crop (server semantics,
+    Returns fn(strip_u8 [H, W], starts [N]) -> [N, dim] where the strip is
+    raw uint8; the vertical center crop (server semantics,
     audio_sheet_server.py:265-271), /255 normalization, optional half
     resize ('prepare') and the encoder+CCA+L2 all run in one computation.
+
+    Parameters are threaded as a jit ARGUMENT (never a closure): closed-over
+    weight arrays would be inlined as HLO constants, bloating the program
+    and degrading every subsequent dispatch on tunneled backends.
     """
     from audio_sheet_retrieval_tpu.models import cca_model
     from audio_sheet_retrieval_tpu.train.engine import prepare_view1_device
@@ -50,12 +54,17 @@ def make_strip_embedder(params, cfg, *, center_crop: int | None = None):
     window = cfg.input_shape_1[2]
 
     @jax.jit
-    def embed(strip_u8: jnp.ndarray, starts: jnp.ndarray):
+    def embed_p(p, strip_u8: jnp.ndarray, starts: jnp.ndarray):
         r0 = strip_u8.shape[0] // 2 - crop_h // 2
         strip = jax.lax.dynamic_slice_in_dim(strip_u8, r0, crop_h, axis=0)
         wins = gather_windows(strip.astype(jnp.float32), starts, window)
         x = prepare_view1_device(wins[:, None, :, :], cfg)
-        return cca_model.embed_view1(params, x, cfg)
+        return cca_model.embed_view1(p, x, cfg)
+
+    params = jax.device_put(params)
+
+    def embed(strip_u8, starts):
+        return embed_p(params, strip_u8, starts)
 
     return embed
 
@@ -68,10 +77,15 @@ def make_spec_embedder(params, cfg):
     window = cfg.input_shape_2[2]
 
     @jax.jit
-    def embed(spec: jnp.ndarray, starts: jnp.ndarray):
+    def embed_p(p, spec: jnp.ndarray, starts: jnp.ndarray):
         wins = gather_windows(spec, starts, window)
         x = prepare_view2_device(wins[:, None, :, :])
-        return cca_model.embed_view2(params, x, cfg)
+        return cca_model.embed_view2(p, x, cfg)
+
+    params = jax.device_put(params)
+
+    def embed(spec, starts):
+        return embed_p(params, spec, starts)
 
     return embed
 
@@ -81,7 +95,8 @@ def make_audio_embedder(params, cfg, processor):
 
     The complete audio serving path as ONE jitted computation: framing +
     STFT + log filterbank (ops/audio.py) + window gather + encoder. The
-    host uploads int16 samples only.
+    host uploads int16 samples only. Params and the filterbank ride as jit
+    arguments (see make_strip_embedder on why closures are harmful).
     """
     from audio_sheet_retrieval_tpu.models import cca_model
     from audio_sheet_retrieval_tpu.train.engine import prepare_view2_device
@@ -89,12 +104,24 @@ def make_audio_embedder(params, cfg, processor):
     window = cfg.input_shape_2[2]
 
     @functools.partial(jax.jit, static_argnames=("num_frames",))
-    def embed(signal_i16: jnp.ndarray, starts: jnp.ndarray, num_frames: int):
+    def embed_p(p, fb, win_fn, signal_i16, starts, num_frames: int):
         # madmom folds the int16 range into the window (1/32767)
         sig = signal_i16.astype(jnp.float32) * (1.0 / 32767.0)
-        spec = processor.process_on_device(sig, num_frames).T  # [bins, T]
+        from audio_sheet_retrieval_tpu.ops.audio import _spectrogram_core
+
+        starts_f = (jnp.arange(num_frames) * processor.hop_size
+                    ).astype(jnp.int32)
+        spec = _spectrogram_core(sig, win_fn, fb, starts_f, num_frames,
+                                 processor.frame_size).T
         wins = gather_windows(spec, starts, window)
         x = prepare_view2_device(wins[:, None, :, :])
-        return cca_model.embed_view2(params, x, cfg)
+        return cca_model.embed_view2(p, x, cfg)
+
+    params = jax.device_put(params)
+    fb = processor.filterbank
+    win_arr = processor._window
+
+    def embed(signal_i16, starts, num_frames):
+        return embed_p(params, fb, win_arr, signal_i16, starts, num_frames)
 
     return embed

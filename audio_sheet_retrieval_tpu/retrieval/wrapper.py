@@ -65,32 +65,39 @@ class RetrievalWrapper:
         self.shape_view1 = model_cfg.input_shape_1
         self.shape_view2 = model_cfg.input_shape_2
 
+        # NOTE parameters are jit ARGUMENTS, never closures: closed-over
+        # weight arrays get inlined as HLO constants, which bloats programs
+        # and degrades dispatch latency on tunneled backends.
         cfg = model_cfg
         if folded:
-            fm = cca_model.fold(params)
+            fm = jax.device_put(cca_model.fold(params))
 
             @jax.jit
-            def v1(x):
+            def v1_p(m, x):
                 return cca_model.folded_embed_view1(
-                    fm, prepare_view1_device(x, cfg))
+                    m, prepare_view1_device(x, cfg))
 
             @jax.jit
-            def v2(x):
-                return cca_model.folded_embed_view2(
-                    fm, prepare_view2_device(x))
+            def v2_p(m, x):
+                return cca_model.folded_embed_view2(m, prepare_view2_device(x))
+
+            self._v1 = lambda x: v1_p(fm, x)
+            self._v2 = lambda x: v2_p(fm, x)
         else:
+            p_dev = jax.device_put(params)
+
             @jax.jit
-            def v1(x):
+            def v1_p(p, x):
                 return cca_model.embed_view1(
-                    params, prepare_view1_device(x, cfg), cfg)
+                    p, prepare_view1_device(x, cfg), cfg)
 
             @jax.jit
-            def v2(x):
+            def v2_p(p, x):
                 return cca_model.embed_view2(
-                    params, prepare_view2_device(x), cfg)
+                    p, prepare_view2_device(x), cfg)
 
-        self._v1 = v1
-        self._v2 = v2
+            self._v1 = lambda x: v1_p(p_dev, x)
+            self._v2 = lambda x: v2_p(p_dev, x)
 
     def compute_view_1(self, X: np.ndarray) -> np.ndarray:
         """Embed raw sheet snippets [N, 1, H, W] (uint8 range) -> [N, 32]."""

@@ -156,9 +156,16 @@ def fit(
     exp_name: str = "ff",
     verbose: bool = True,
     on_epoch: Optional[Callable[[dict], None]] = None,
+    mesh=None,
 ) -> tuple[ModelParams, float]:
     """Train with early stopping + refinement restarts; returns
-    (best params, best validation MRR)."""
+    (best params, best validation MRR).
+
+    With ``mesh`` set, training is data-parallel: parameters/optimizer state
+    are replicated and every batch is sharded over the mesh's first axis —
+    XLA derives the gradient all-reduce and the cross-chip CCA batch
+    statistics (there is no reference analog; the reference is single-GPU).
+    """
     os.makedirs(out_path, exist_ok=True)
     if log_file is None:
         log_file = os.path.join(out_path, "results.pkl")
@@ -168,6 +175,19 @@ def fit(
     state = ts.init_train_state(params, cfg, optimizer)
     train_step = make_train_step(cfg, optimizer)
     embed_pair, valid_loss_fn, init_cca_step = make_eval_fns(cfg)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        batch_sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
+        replicated = NamedSharding(mesh, P())
+        state = jax.tree.map(lambda x: jax.device_put(x, replicated), state)
+
+        def put(x):
+            return jax.device_put(jnp.asarray(x), batch_sharding)
+    else:
+        def put(x):
+            return jnp.asarray(x)
 
     def say(msg, color=None):
         if verbose:
@@ -179,7 +199,7 @@ def fit(
     for _ in range(cfg.pretrain_epochs):
         for x1, x2 in threaded_generator_from_iterator(
                 train_batch_iter(data["train"])):
-            state = init_cca_step(state, jnp.asarray(x1), jnp.asarray(x2))
+            state = init_cca_step(state, put(x1), put(x2))
 
     patience = cfg.patience
     refinement_steps = cfg.refinement_steps
@@ -196,23 +216,41 @@ def fit(
 
     n_valid_cca = int(min(1000, data["valid"].shape[0]))
     epoch_idx = 0
+    epoch_runner = None
     now = time.time()
     try:
         while epoch_idx < num_epochs:
             epoch_idx += 1
 
             # ---- train one epoch --------------------------------------------
-            batch_losses, batch_corrs = [], []
             iterator = train_batch_iter(data["train"])
             t0 = time.time()
-            n_batches = 0
-            for x1, x2 in threaded_generator_from_iterator(iterator):
-                state, m = train_step(state, jnp.asarray(x1), jnp.asarray(x2))
-                batch_losses.append(m["loss"])
-                batch_corrs.append(m["corr"])
-                n_batches += 1
-            # one host sync at epoch end, not per batch
-            batch_losses = [float(l) for l in batch_losses]
+            if (mesh is None
+                    and hasattr(iterator, "epoch_entity_indices")):
+                # fused path: the whole sub-epoch is ONE device dispatch
+                # (lax.scan over batches; see device_pool.make_epoch_runner)
+                if epoch_runner is None:
+                    from audio_sheet_retrieval_tpu.data.device_pool import (
+                        make_epoch_runner,
+                    )
+
+                    epoch_runner = make_epoch_runner(cfg, optimizer,
+                                                     iterator.pool)
+                entity_idx = iterator.epoch_entity_indices()
+                state, losses_dev, corrs_dev = epoch_runner(state, entity_idx)
+                batch_losses = list(np.asarray(losses_dev))
+                batch_corrs = [corrs_dev.mean(axis=0)]
+                n_batches = len(batch_losses)
+            else:
+                batch_losses, batch_corrs = [], []
+                n_batches = 0
+                for x1, x2 in threaded_generator_from_iterator(iterator):
+                    state, m = train_step(state, put(x1), put(x2))
+                    batch_losses.append(m["loss"])
+                    batch_corrs.append(m["corr"])
+                    n_batches += 1
+                # one host sync at epoch end, not per batch
+                batch_losses = [float(l) for l in batch_losses]
             tr_loss = float(np.mean(batch_losses))
             ups = n_batches / max(time.time() - t0, 1e-9)
             params_now = state.params(cfg)
@@ -226,8 +264,7 @@ def fit(
                     it_copy(data["train"])):
                 if n_collected >= n_valid_cca:
                     break
-                lv1, lv2 = embed_pair(params_now, jnp.asarray(x1),
-                                      jnp.asarray(x2))
+                lv1, lv2 = embed_pair(params_now, put(x1), put(x2))
                 V1_tr.append(np.asarray(lv1))
                 V2_tr.append(np.asarray(lv2))
                 n_collected += lv1.shape[0]
@@ -249,8 +286,7 @@ def fit(
             n_collected = 0
             for x1, x2 in threaded_generator_from_iterator(
                     valid_batch_iter(data["valid"])):
-                vloss, lv1, lv2 = valid_loss_fn(params_now, jnp.asarray(x1),
-                                                jnp.asarray(x2))
+                vloss, lv1, lv2 = valid_loss_fn(params_now, put(x1), put(x2))
                 va_losses.append(float(vloss))
                 if n_collected < n_valid_cca:
                     V1_va.append(np.asarray(lv1))

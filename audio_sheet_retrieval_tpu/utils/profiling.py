@@ -16,6 +16,25 @@ from typing import Optional
 import numpy as np
 
 
+def enable_compile_cache(cache_dir: Optional[str] = None) -> Optional[str]:
+    """Enable JAX's persistent compilation cache (big win over the slow
+    remote-compile tunnel; call early in CLIs/benchmarks)."""
+    import os
+
+    import jax
+
+    cache_dir = cache_dir or os.environ.get(
+        "ASR_COMPILE_CACHE",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".jax_cache"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        return cache_dir
+    except Exception:
+        return None
+
+
 @contextlib.contextmanager
 def trace(log_dir: str = "/tmp/asr_tpu_trace"):
     """Capture a JAX profiler trace around a block of device work."""

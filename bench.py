@@ -104,10 +104,15 @@ def main():
     audios = [(rng.standard_normal(n_samples) * 3000).astype(np.int16)
               for _ in range(n_pieces)]
 
+    # NOTE block_until_ready does not actually synchronize on the axon
+    # tunnel backend; a scalar download of a value depending on ALL outputs
+    # forces real completion (device executes in order).
+    checksum = jax.jit(lambda xs: sum(jnp.sum(x) for x in xs))
+
     # warmup / compile
     r1 = embed_strip(jnp.asarray(strips[0]), sheet_starts_d)
     r2 = embed_audio(jnp.asarray(audios[0]), spec_starts_d, n_frames)
-    jax.block_until_ready((r1, r2))
+    float(checksum([r1, r2]))
 
     t0 = time.perf_counter()
     outs = []
@@ -115,7 +120,7 @@ def main():
         outs.append(embed_strip(jnp.asarray(strips[p]), sheet_starts_d))
         outs.append(embed_audio(jnp.asarray(audios[p]), spec_starts_d,
                                 n_frames))
-    jax.block_until_ready(outs)
+    float(checksum(outs))  # forced sync
     dt = time.perf_counter() - t0
 
     total_emb = n_pieces * emb_per_piece
@@ -127,9 +132,8 @@ def main():
     # device-resident compute ceiling (batch already in HBM)
     strip_dev = jax.device_put(strips[0])
     t0 = time.perf_counter()
-    for _ in range(10):
-        r = embed_strip(strip_dev, sheet_starts_d)
-    r.block_until_ready()
+    rs = [embed_strip(strip_dev, sheet_starts_d) for _ in range(10)]
+    float(checksum(rs))  # forced sync
     ceiling = 10 * len(sheet_starts) / (time.perf_counter() - t0)
     log(f"device-resident sheet ceiling: {ceiling:,.0f} emb/s")
 
@@ -152,6 +156,37 @@ def main():
     log(f"piece-ID query p50 (raw 60s audio -> vote vs 100k gallery): "
         f"{p50:.1f} ms")
 
+    # training throughput: device-resident data path, full rsz model
+    train_ups = None
+    if os.environ.get("ASR_BENCH_TRAIN", "1") == "1":
+        from audio_sheet_retrieval_tpu.data import device_pool as dpool
+        from audio_sheet_retrieval_tpu.data import pools, synthetic
+        from audio_sheet_retrieval_tpu.train import engine as tengine
+        from audio_sheet_retrieval_tpu.train import state as tstate
+
+        tr = synthetic.make_piece_list(7, 8, n_onsets=120)
+        dp = dpool.DevicePool(*tr, data_augmentation=pools.FULL_AUGMENT,
+                              rng=np.random.default_rng(0))
+        t_params = cca_model.init_model(jax.random.PRNGKey(0), cfg)
+        opt = tstate.make_optimizer(cfg.ini_learning_rate)
+        st = tstate.init_train_state(t_params, cfg, opt)
+        step = tengine.make_train_step(cfg, opt)
+        del step
+        # fused sub-epoch: one dispatch scans all batches (the production
+        # training path; per-dispatch tunnel latency amortizes away)
+        runner = dpool.make_epoch_runner(cfg, opt, dp)
+        n_batches = 100
+        ent = np.arange(n_batches * cfg.batch_size) % dp.shape[0]
+        ent = ent.reshape(n_batches, cfg.batch_size)
+        st, losses, _ = runner(st, ent)  # compile
+        float(losses.sum())
+        t0 = time.perf_counter()
+        st, losses, _ = runner(st, ent)
+        float(losses.sum())  # forced sync
+        train_ups = n_batches / (time.perf_counter() - t0)
+        log(f"training: {train_ups:.1f} updates/s (batch {cfg.batch_size}, "
+            f"fused {n_batches}-step epoch, device-resident data)")
+
     baseline = 1000.0  # north-star embeddings/sec/chip
     print(json.dumps({
         "metric": "snippet_embeddings_per_sec_per_chip",
@@ -164,6 +199,8 @@ def main():
             "piece_id_query_p50_ms": round(p50, 2),
             "sheet_windows_per_piece": int(len(sheet_starts)),
             "audio_windows_per_piece": int(len(spec_starts)),
+            "train_updates_per_s": (round(train_ups, 1)
+                                    if train_ups else None),
             "dtype": dtype,
             "device": str(dev),
         },
