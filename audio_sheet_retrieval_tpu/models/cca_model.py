@@ -75,9 +75,12 @@ def forward_train(
         bn_epsilon=cfg.bn_epsilon, bn_alpha=cfg.bn_alpha)
 
     if cfg.use_ccal:
+        # polar whitening changes the monitored corr semantics; with a
+        # nonzero corr-loss weight the reference eigh form is required
+        whitening = cfg.whitening if cfg.weight_tno == 0.0 else "eigh"
         lv1, lv2, new_cca, corr = cca_ops.cca_layer_train(
             h1, h2, params.cca, r1=cfg.r1, r2=cfg.r2, rT=cfg.rT,
-            alpha=cfg.alpha)
+            alpha=cfg.alpha, whitening=whitening)
     else:
         # LearnedCCALayer: U/V are trainable; batch-mean centering in train
         # mode, running means updated with alpha (lasagne cca.py:239-323)

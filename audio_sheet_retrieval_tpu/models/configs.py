@@ -46,6 +46,9 @@ class ModelConfig:
     k_samples: int = 10000        # samples per training sub-epoch (:203)
     # numerics
     compute_dtype: str = "float32"   # encoder conv dtype ("bfloat16" on TPU)
+    whitening: str = "polar"      # CCA layer whitening: "polar" (TPU-fast
+    #                               Newton-Schulz; loss/metrics equivalent,
+    #                               see PARITY.md) or "eigh" (reference form)
     bn_epsilon: float = 1e-4      # lasagne BatchNormLayer default
     bn_alpha: float = 1e-2        # running-average rate for BN stats
 

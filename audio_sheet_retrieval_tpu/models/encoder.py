@@ -66,18 +66,21 @@ def init_encoder(key, in_channels: int, num_filters: int, dim_latent: int,
 def _conv(x, w, compute_dtype):
     # float32 path pins HIGHEST precision: TPU otherwise lowers f32 convs to
     # bf16 multiplies, breaking checkpoint-parity tolerances. The bfloat16
-    # fast path makes the tradeoff explicitly via compute_dtype.
-    precision = (jax.lax.Precision.HIGHEST
-                 if compute_dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
-    return jax.lax.conv_general_dilated(
+    # fast path keeps conv output in bf16 (a float32 preferred_element_type
+    # breaks the transpose/grad rule with mixed dtypes); callers cast the
+    # activations back to float32 for the BN statistics.
+    f32 = compute_dtype == jnp.float32
+    out = jax.lax.conv_general_dilated(
         x.astype(compute_dtype),
         w.astype(compute_dtype),
         window_strides=(1, 1),
         padding="SAME" if w.shape[0] == 3 else "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-        precision=precision,
+        preferred_element_type=jnp.float32 if f32 else None,
+        precision=(jax.lax.Precision.HIGHEST if f32
+                   else jax.lax.Precision.DEFAULT),
     )
+    return out if f32 else out.astype(jnp.float32)
 
 
 def _maxpool2(x):

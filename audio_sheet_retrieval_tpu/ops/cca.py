@@ -85,6 +85,47 @@ def inv_sqrt_spd(S: jnp.ndarray) -> jnp.ndarray:
     return (A * (1.0 / jnp.sqrt(d))).dot(A.T)
 
 
+def inv_sqrt_spd_ns(S: jnp.ndarray, iters: int = 30) -> jnp.ndarray:
+    """S^{-1/2} via the coupled Newton-Schulz (Denman-Beavers) iteration.
+
+    Pure 32x32 matmuls — MXU-native and differentiable without the eigh
+    JVP's 1/(lambda_i - lambda_j) blowups. Trace normalization puts the
+    spectrum in (0, 1]; with the CCA ridge (1e-3) the condition number is
+    bounded and ~30 iterations converge to fp32 accuracy.
+    """
+    d = S.shape[0]
+    eye = jnp.eye(d, dtype=S.dtype)
+    norm = jnp.trace(S)
+    Y = S / norm
+    Z = eye
+
+    def body(_, yz):
+        Y, Z = yz
+        Tm = 0.5 * (3.0 * eye - Z @ Y)
+        return Y @ Tm, Tm @ Z
+
+    Y, Z = jax.lax.fori_loop(0, iters, body, (Y, Z))
+    return Z / jnp.sqrt(norm)
+
+
+def polar_ns(T: jnp.ndarray, iters: int = 40) -> jnp.ndarray:
+    """Orthogonal polar factor W = T (TᵀT)^{-1/2} via Newton-Schulz.
+
+    X_{k+1} = X_k (3I - X_kᵀ X_k)/2 with X_0 = T/||T||_F (singular values
+    < sqrt(3) guarantees convergence; all flow to 1). Directions with
+    near-zero singular values converge slowly — exactly the directions
+    whose sign the reference's eigh-based fix leaves arbitrary anyway.
+    """
+    d2 = T.shape[1]
+    eye = jnp.eye(d2, dtype=T.dtype)
+    X = T / jnp.linalg.norm(T)
+
+    def body(_, X):
+        return 0.5 * X @ (3.0 * eye - X.T @ X)
+
+    return jax.lax.fori_loop(0, iters, body, X)
+
+
 def cca_moments(H1: jnp.ndarray, H2: jnp.ndarray) -> CCAMoments:
     """Sufficient statistics of a (shard of a) sample for a CCA fit."""
     n = jnp.asarray(H1.shape[0], jnp.float32)
@@ -230,18 +271,30 @@ def cca_layer_train(
     r2: float = DEFAULT_R2,
     rT: float = DEFAULT_RT,
     alpha: float = 1.0,
+    whitening: str = "eigh",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, CCAState, jnp.ndarray]:
     """Training-mode CCA layer (reference lasagne cca.py:91-203).
 
     Computes batch statistics, blends them into the running state with
     ``alpha`` (shipped models use alpha=1.0, i.e. pure batch statistics),
-    derives the projections via whitening + double eigh with the
-    sign-matching fix, and projects the (mean-centered) inputs.
+    derives the projections, and projects the (mean-centered) inputs.
 
-    Returns (lv1, lv2, new_state, corr) where corr are the clipped canonical
-    correlations sqrt(clip(E1, 1e-7, 1)) monitored by the reference.
-    The caller is responsible for treating ``new_state`` as non-differentiable
-    (the Theano original updated shared variables out-of-band).
+    ``whitening``:
+      * "eigh"  — the reference formulation: inverse sqrts + double eigh of
+        TTᵀ/TᵀT with the sign-matching fix (lasagne cca.py:144-173).
+      * "polar" — TPU-native equivalent: Newton-Schulz inverse sqrts + the
+        orthogonal polar factor W = polar(T). After the reference's sign
+        fix, E Fᵀ == polar(T) exactly, and both the training loss and all
+        eval retrieval metrics are invariant under the per-view rotations
+        that distinguish (U, V) from (S11si·W, S22si) — see PARITY.md.
+        Pure matmuls: ~20x faster on TPU and with stable gradients (no
+        eigh-JVP 1/(lambda_i-lambda_j) terms). The monitored corr becomes
+        diag(WᵀT) (same sum as the singular values). Requires wl == 0
+        (true for all shipped models).
+
+    Returns (lv1, lv2, new_state, corr). The caller treats ``new_state`` as
+    non-differentiable (the Theano original updated shared variables
+    out-of-band).
     """
     f32 = jnp.float32
     H1 = H1.astype(f32)
@@ -265,24 +318,37 @@ def cca_layer_train(
     S11 = (1.0 - a) * state.S11 + a * S11
     S22 = (1.0 - a) * state.S22 + a * S22
 
-    S11si = inv_sqrt_spd(S11)
-    S22si = inv_sqrt_spd(S22)
+    if whitening == "polar":
+        S11si = inv_sqrt_spd_ns(S11)
+        S22si = inv_sqrt_spd_ns(S22)
+        T = S11si.dot(S12).dot(S22si)
+        W = polar_ns(T)
+        U = S11si.dot(W)
+        V = S22si
+        # WᵀT = (TᵀT)^1/2: same trace as the singular values (corr proxy)
+        corr = jnp.sqrt(jnp.clip(jnp.abs(jnp.diagonal(W.T.dot(T))) ** 2,
+                                 1e-7, 1.0))
+    elif whitening == "eigh":
+        S11si = inv_sqrt_spd(S11)
+        S22si = inv_sqrt_spd(S22)
 
-    T = S11si.dot(S12).dot(S22si)
-    M1 = T.dot(T.T) + rT * eye
-    M2 = T.T.dot(T) + rT * eye
+        T = S11si.dot(S12).dot(S22si)
+        M1 = T.dot(T.T) + rT * eye
+        M2 = T.T.dot(T) + rT * eye
 
-    E1, E = jnp.linalg.eigh(M1)
-    _, F = jnp.linalg.eigh(M2)
+        E1, E = jnp.linalg.eigh(M1)
+        _, F = jnp.linalg.eigh(M2)
 
-    corr = jnp.sqrt(jnp.clip(E1, 1e-7, 1.0))
+        corr = jnp.sqrt(jnp.clip(E1, 1e-7, 1.0))
 
-    U = S11si.dot(E)
-    V = S22si.dot(F)
+        U = S11si.dot(E)
+        V = S22si.dot(F)
 
-    # flip signs of projections to match (cca.py:170-173)
-    s = jnp.sign(jnp.diagonal(U.T.dot(S12).dot(V)))
-    U = U * s
+        # flip signs of projections to match (cca.py:170-173)
+        s = jnp.sign(jnp.diagonal(U.T.dot(S12).dot(V)))
+        U = U * s
+    else:  # pragma: no cover
+        raise ValueError(f"unknown whitening: {whitening}")
 
     lv1 = H1bar.dot(U)
     lv2 = H2bar.dot(V)
