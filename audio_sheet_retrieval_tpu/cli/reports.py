@@ -116,6 +116,32 @@ def report_alignment(res_files):
     return rows
 
 
+def report_umc_piece_retrieval(out_path: str, dsets=("umc_mozart",)):
+    """UMC piece-ID rank tables (reference scripts/eval_umc_piece_retrieval.py):
+    rank<= {1,5,10} counts for real scans, both directions, synthesized +
+    real performances."""
+    rows = []
+    for dset in dsets:
+        for ret_dir in ("A2S", "A2S_real", "S2A", "S2A_real"):
+            import glob
+
+            hits = glob.glob(os.path.join(
+                out_path, f"umc_retrieval_*_{dset}_{ret_dir}.yaml"))
+            for f in sorted(hits):
+                with open(f, "rb") as fp:
+                    ranks = np.sort(yaml.safe_load(fp))
+                cells = []
+                for thr in (1, 5, 10):
+                    cnt = int(np.sum(ranks <= thr))
+                    cells.append("%d (%.2f)" % (cnt, cnt / len(ranks)))
+                cnt = int(np.sum(ranks > 10))
+                cells.append("%d (%.2f)" % (cnt, cnt / len(ranks)))
+                row = "%s %s & %s \\\\" % (dset, ret_dir, " & ".join(cells))
+                print(row)
+                rows.append(row)
+    return rows
+
+
 def report_dset_size(out_path: str, splits: dict | None = None):
     """MRR vs training-set-size table (reference eval_dset_size.py:43-76;
     split yamls named e.g. all_split_{10,25,50,75,100}). Text output instead
@@ -170,6 +196,8 @@ def main(argv=None):
     p.add_argument("res_files", nargs="+")
     p = sub.add_parser("dset-size")
     p.add_argument("--out_path", required=True)
+    p = sub.add_parser("umc-piece-retrieval")
+    p.add_argument("--out_path", required=True)
     p = sub.add_parser("curves")
     p.add_argument("log_file")
     p.add_argument("--watch", action="store_true")
@@ -183,6 +211,8 @@ def main(argv=None):
         return report_alignment(args.res_files)
     if args.cmd == "dset-size":
         return report_dset_size(args.out_path)
+    if args.cmd == "umc-piece-retrieval":
+        return report_umc_piece_retrieval(args.out_path)
     if args.cmd == "curves":
         return report_curves(args.log_file, watch=args.watch)
 

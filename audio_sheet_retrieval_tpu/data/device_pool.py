@@ -13,13 +13,11 @@ to the device. Here the complete dataset lives in device memory once:
     entities near a piece boundary center on the clipped crop center, not
     the note coordinate (data_pools.py:137-156 arithmetic).
 
-A batch is then two gathers + the augmentation math, all inside jit:
-
-  * sheet: one fused sampling-grid gather implements crop + random scale
-    (0.95-1.05, nearest like cv2 INTER_NEAREST) + vertical translation
-    jitter in a single lookup,
-  * spec: window gather with onset jitter and the spec_padding frequency
-    shift (edge-clamp == the reference's edge padding).
+A batch is assembled fully inside jit: contiguous dynamic-slice crops
+(fast DMA), then the random scale / vertical translation resampling and the
+spec_padding frequency shift expressed as one-hot selection matmuls (MXU) —
+exact nearest-neighbor semantics without slow TPU gathers (see
+_make_assemble).
 
 Host->device traffic per batch: 2 x [B] int32 index vectors + a PRNG key.
 MSMD-scale datasets fit comfortably (strips ~1-2 GB uint8, specs <1 GB).
@@ -27,7 +25,6 @@ MSMD-scale datasets fit comfortably (strips ~1-2 GB uint8, specs <1 GB).
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, List, Optional, Sequence
 
 import jax

@@ -13,7 +13,6 @@ on the host. A numpy fallback is kept for tiny problems.
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

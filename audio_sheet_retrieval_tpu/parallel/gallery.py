@@ -14,7 +14,6 @@ Design (new; the reference has no distributed path — SURVEY.md §2):
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

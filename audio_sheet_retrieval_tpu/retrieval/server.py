@@ -22,7 +22,7 @@ from __future__ import annotations
 import pickle
 import sys
 import time
-from typing import Callable, Dict, List, Optional, Sequence
+from typing import Callable, Dict, Optional, Sequence
 
 import numpy as np
 

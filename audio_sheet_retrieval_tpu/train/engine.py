@@ -25,7 +25,6 @@ from __future__ import annotations
 
 import copy
 import os
-import sys
 import time
 from typing import Callable, Dict, Optional
 
@@ -156,6 +155,7 @@ def fit(
     exp_name: str = "ff",
     verbose: bool = True,
     on_epoch: Optional[Callable[[dict], None]] = None,
+    update_learning_rate: Optional[Callable[[float, int], float]] = None,
     mesh=None,
 ) -> tuple[ModelParams, float]:
     """Train with early stopping + refinement restarts; returns
@@ -370,6 +370,12 @@ def fit(
                               learn_rate),
                     state.step)
             else:
+                # per-epoch lr hook (model.update_learning_rate — identity in
+                # all shipped models, reference run_train.py:113/:522-525)
+                if update_learning_rate is not None:
+                    new_lr = update_learning_rate(learn_rate, epoch_idx)
+                    if new_lr is not None:
+                        learn_rate = float(new_lr)
                 state = state._replace(
                     opt_state=ts.set_lr(state.opt_state, learn_rate))
 
