@@ -305,6 +305,51 @@ def make_epoch_runner(cfg, optimizer, pool: "DevicePool"):
     return runner
 
 
+def make_embed_runner(cfg, pool: "DevicePool"):
+    """Fused evaluation: ONE dispatch embeds + scores many batches.
+
+    Returns run(params, entity_idx [n, B]) -> (lv1 [n*B, d], lv2 [n*B, d],
+    per-batch losses [n]) using deterministic (eval-mode) assembly and the
+    deterministic forward path — the engine's per-epoch train/valid
+    embedding loops collapse from ~30 dispatches to one each.
+    """
+    from audio_sheet_retrieval_tpu.models import cca_model
+    from audio_sheet_retrieval_tpu.ops import losses as loss_ops
+    from audio_sheet_retrieval_tpu.train.engine import (
+        prepare_view1_device,
+        prepare_view2_device,
+    )
+
+    assemble = pool._assemble[False]
+    loss_weight = 1.0 - cfg.weight_tno
+
+    @jax.jit
+    def run(params, strip, spec, coords_mat, onsets_mat, key):
+        def body(k, inputs):
+            coords, onsets = inputs
+            k, sub = jax.random.split(k)
+            x1, x2 = assemble(strip, spec, coords, onsets, sub)
+            lv1 = cca_model.embed_view1(
+                params, prepare_view1_device(x1, cfg), cfg)
+            lv2 = cca_model.embed_view2(params, prepare_view2_device(x2), cfg)
+            loss = loss_ops.contrastive_cos_loss(
+                lv1, lv2, weight=loss_weight, gamma=cfg.gamma)
+            return k, (lv1, lv2, loss)
+
+        _, (lv1s, lv2s, losses) = jax.lax.scan(
+            body, key, (coords_mat, onsets_mat))
+        d = lv1s.shape[-1]
+        return lv1s.reshape(-1, d), lv2s.reshape(-1, d), losses
+
+    def runner(params, entity_idx: np.ndarray):
+        coords = jnp.asarray(pool.entity_coords[entity_idx])
+        onsets = jnp.asarray(pool.entity_onsets[entity_idx])
+        return run(params, pool.strip, pool.spec, coords, onsets,
+                   pool.next_key())
+
+    return runner
+
+
 def from_host_pool(pool, data_augmentation: Optional[Dict] = None,
                    rng: Optional[np.random.Generator] = None,
                    shuffle: bool = True) -> "DevicePool":

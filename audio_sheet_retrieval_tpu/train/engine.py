@@ -217,6 +217,21 @@ def fit(
     n_valid_cca = int(min(1000, data["valid"].shape[0]))
     epoch_idx = 0
     epoch_runner = None
+    # fused evaluation runners (single-dispatch embed+score) when the pools
+    # are device-resident and no mesh resharding is involved
+    embed_runner_tr = embed_runner_va = None
+    if mesh is None:
+        from audio_sheet_retrieval_tpu.data.device_pool import (
+            DevicePool,
+            make_embed_runner,
+        )
+
+        if isinstance(data["train"], DevicePool) and hasattr(
+                train_batch_iter, "epoch_entity_indices"):
+            embed_runner_tr = make_embed_runner(cfg, data["train"])
+        if isinstance(data.get("valid"), DevicePool) and hasattr(
+                valid_batch_iter, "epoch_entity_indices"):
+            embed_runner_va = make_embed_runner(cfg, data["valid"])
     now = time.time()
     try:
         while epoch_idx < num_epochs:
@@ -256,20 +271,30 @@ def fit(
             params_now = state.params(cfg)
 
             # ---- embed train subset (fresh iterator copy, :234-246) ---------
-            it_copy = copy.copy(train_batch_iter)
-            it_copy.epoch_counter = 0
-            V1_tr, V2_tr = [], []
-            n_collected = 0
-            for x1, x2 in threaded_generator_from_iterator(
-                    it_copy(data["train"])):
-                if n_collected >= n_valid_cca:
-                    break
-                lv1, lv2 = embed_pair(params_now, put(x1), put(x2))
-                V1_tr.append(np.asarray(lv1))
-                V2_tr.append(np.asarray(lv2))
-                n_collected += lv1.shape[0]
-            V1_tr = np.vstack(V1_tr)
-            V2_tr = np.vstack(V2_tr)
+            if embed_runner_tr is not None:
+                bs = train_batch_iter.batch_size
+                nb = int(np.ceil(n_valid_cca / bs))
+                pool_tr = data["train"]
+                idx = np.arange(nb * bs) % pool_tr.shape[0]
+                entity_idx = pool_tr._order[idx.reshape(nb, bs)]
+                lv1d, lv2d, _ = embed_runner_tr(params_now, entity_idx)
+                V1_tr = np.asarray(lv1d)
+                V2_tr = np.asarray(lv2d)
+            else:
+                it_copy = copy.copy(train_batch_iter)
+                it_copy.epoch_counter = 0
+                V1_tr, V2_tr = [], []
+                n_collected = 0
+                for x1, x2 in threaded_generator_from_iterator(
+                        it_copy(data["train"])):
+                    if n_collected >= n_valid_cca:
+                        break
+                    lv1, lv2 = embed_pair(params_now, put(x1), put(x2))
+                    V1_tr.append(np.asarray(lv1))
+                    V2_tr.append(np.asarray(lv2))
+                    n_collected += lv1.shape[0]
+                V1_tr = np.vstack(V1_tr)
+                V2_tr = np.vstack(V2_tr)
 
             if cfg.fit_cca:
                 res = cca_ops.cca_fit(V1_tr, V2_tr, method="svd")
@@ -282,19 +307,31 @@ def fit(
             mean_rank_tr = 1.0 - float(hit_tr[10]) / len(lv1_tr)
 
             # ---- validation (:272-299) --------------------------------------
-            V1_va, V2_va, va_losses = [], [], []
-            n_collected = 0
-            for x1, x2 in threaded_generator_from_iterator(
-                    valid_batch_iter(data["valid"])):
-                vloss, lv1, lv2 = valid_loss_fn(params_now, put(x1), put(x2))
-                va_losses.append(float(vloss))
-                if n_collected < n_valid_cca:
-                    V1_va.append(np.asarray(lv1))
-                    V2_va.append(np.asarray(lv2))
-                    n_collected += lv1.shape[0]
-            va_loss = float(np.mean(va_losses))
-            V1_va = np.vstack(V1_va)
-            V2_va = np.vstack(V2_va)
+            if embed_runner_va is not None:
+                va_it = valid_batch_iter(data["valid"])
+                entity_idx = va_it.epoch_entity_indices()
+                lv1d, lv2d, losses_va = embed_runner_va(params_now,
+                                                        entity_idx)
+                va_loss = float(np.asarray(losses_va).mean())
+                V1_va = np.asarray(lv1d)[:max(n_valid_cca,
+                                              va_it.batch_size)]
+                V2_va = np.asarray(lv2d)[:max(n_valid_cca,
+                                              va_it.batch_size)]
+            else:
+                V1_va, V2_va, va_losses = [], [], []
+                n_collected = 0
+                for x1, x2 in threaded_generator_from_iterator(
+                        valid_batch_iter(data["valid"])):
+                    vloss, lv1, lv2 = valid_loss_fn(params_now, put(x1),
+                                                    put(x2))
+                    va_losses.append(float(vloss))
+                    if n_collected < n_valid_cca:
+                        V1_va.append(np.asarray(lv1))
+                        V2_va.append(np.asarray(lv2))
+                        n_collected += lv1.shape[0]
+                va_loss = float(np.mean(va_losses))
+                V1_va = np.vstack(V1_va)
+                V2_va = np.vstack(V2_va)
             if cfg.fit_cca:
                 lv1_va = np.asarray(cca_ops.cca_transform_v1(res, V1_va))
                 lv2_va = np.asarray(cca_ops.cca_transform_v2(res, V2_va))
