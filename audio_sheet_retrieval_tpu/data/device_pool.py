@@ -145,13 +145,21 @@ class DevicePool:
         data_augmentation: Optional[Dict] = None,
         rng: Optional[np.random.Generator] = None,
         shuffle: bool = True,
+        mesh=None,
+        data_axis: str = "data",
     ):
+        """``mesh``: shard assembled batches (and everything downstream)
+        over the mesh's ``data_axis`` — the dataset arrays are replicated
+        across chips and each chip assembles its share of every batch
+        (batch_size must divide by the axis size)."""
         self.spec_context = spec_context
         self.sheet_context = sheet_context
         self.staff_height = staff_height
         self.data_augmentation = dict(data_augmentation or NO_AUGMENT)
         self.rng = rng if rng is not None else np.random.default_rng()
         self.shuffle = shuffle
+        self.mesh = mesh
+        self.data_axis = data_axis
 
         margin_x = 2 * sheet_context
         margin_t = spec_context
@@ -222,8 +230,18 @@ class DevicePool:
         if shuffle:
             self.reset_batch_generator()
 
-        self.strip = jax.device_put(big_strip)
-        self.spec = jax.device_put(big_spec)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            replicated = NamedSharding(mesh, P())
+            self.strip = jax.device_put(big_strip, replicated)
+            self.spec = jax.device_put(big_spec, replicated)
+            self._idx_sharding = NamedSharding(mesh, P(data_axis))
+            self._mat_sharding = NamedSharding(mesh, P(None, data_axis))
+        else:
+            self.strip = jax.device_put(big_strip)
+            self.spec = jax.device_put(big_spec)
+            self._idx_sharding = self._mat_sharding = None
         self.strip_h = strip_h
         self.bins = bins
         self._key = jax.random.PRNGKey(int(self.rng.integers(2 ** 31)))
@@ -243,13 +261,20 @@ class DevicePool:
         self._key, sub = jax.random.split(self._key)
         return sub
 
+    def _put(self, arr: np.ndarray, matrix: bool = False):
+        """Upload an index array, sharded over the mesh when configured."""
+        if self.mesh is None:
+            return jnp.asarray(arr)
+        sh = self._mat_sharding if matrix else self._idx_sharding
+        return jax.device_put(np.asarray(arr), sh)
+
     def batch(self, idx: np.ndarray, train: bool = True):
         """Assemble a batch for entity positions ``idx`` (in the current
         shuffled order) -> device arrays ([B,1,sh,ctx] raw-range sheets,
         [B,1,bins,spec_ctx] spectrogram excerpts)."""
         sel = self._order[np.asarray(idx)]
-        coords = jnp.asarray(self.entity_coords[sel])
-        onsets = jnp.asarray(self.entity_onsets[sel])
+        coords = self._put(self.entity_coords[sel])
+        onsets = self._put(self.entity_onsets[sel])
         return self._assemble[train](self.strip, self.spec, coords, onsets,
                                      self.next_key())
 
@@ -296,8 +321,8 @@ def make_epoch_runner(cfg, optimizer, pool: "DevicePool"):
     def runner(state, entity_idx: np.ndarray, key=None):
         """entity_idx: [n_batches, B] entity indices (see
         DeviceBatchIterator.epoch_entity_indices)."""
-        coords = jnp.asarray(pool.entity_coords[entity_idx])
-        onsets = jnp.asarray(pool.entity_onsets[entity_idx])
+        coords = pool._put(pool.entity_coords[entity_idx], matrix=True)
+        onsets = pool._put(pool.entity_onsets[entity_idx], matrix=True)
         if key is None:
             key = pool.next_key()
         return run_epoch(state, pool.strip, pool.spec, coords, onsets, key)
@@ -342,8 +367,8 @@ def make_embed_runner(cfg, pool: "DevicePool"):
         return lv1s.reshape(-1, d), lv2s.reshape(-1, d), losses
 
     def runner(params, entity_idx: np.ndarray):
-        coords = jnp.asarray(pool.entity_coords[entity_idx])
-        onsets = jnp.asarray(pool.entity_onsets[entity_idx])
+        coords = pool._put(pool.entity_coords[entity_idx], matrix=True)
+        onsets = pool._put(pool.entity_onsets[entity_idx], matrix=True)
         return run(params, pool.strip, pool.spec, coords, onsets,
                    pool.next_key())
 

@@ -220,18 +220,19 @@ def fit(
     # fused evaluation runners (single-dispatch embed+score) when the pools
     # are device-resident and no mesh resharding is involved
     embed_runner_tr = embed_runner_va = None
-    if mesh is None:
-        from audio_sheet_retrieval_tpu.data.device_pool import (
-            DevicePool,
-            make_embed_runner,
-        )
+    from audio_sheet_retrieval_tpu.data.device_pool import (
+        DevicePool,
+        make_embed_runner,
+    )
 
-        if isinstance(data["train"], DevicePool) and hasattr(
-                train_batch_iter, "epoch_entity_indices"):
-            embed_runner_tr = make_embed_runner(cfg, data["train"])
-        if isinstance(data.get("valid"), DevicePool) and hasattr(
-                valid_batch_iter, "epoch_entity_indices"):
-            embed_runner_va = make_embed_runner(cfg, data["valid"])
+    if (isinstance(data["train"], DevicePool)
+            and data["train"].mesh is mesh
+            and hasattr(train_batch_iter, "epoch_entity_indices")):
+        embed_runner_tr = make_embed_runner(cfg, data["train"])
+    if (isinstance(data.get("valid"), DevicePool)
+            and data["valid"].mesh is mesh
+            and hasattr(valid_batch_iter, "epoch_entity_indices")):
+        embed_runner_va = make_embed_runner(cfg, data["valid"])
     now = time.time()
     try:
         while epoch_idx < num_epochs:
@@ -240,8 +241,8 @@ def fit(
             # ---- train one epoch --------------------------------------------
             iterator = train_batch_iter(data["train"])
             t0 = time.time()
-            if (mesh is None
-                    and hasattr(iterator, "epoch_entity_indices")):
+            if (hasattr(iterator, "epoch_entity_indices")
+                    and getattr(iterator.pool, "mesh", None) is mesh):
                 # fused path: the whole sub-epoch is ONE device dispatch
                 # (lax.scan over batches; see device_pool.make_epoch_runner)
                 if epoch_runner is None:
