@@ -1,0 +1,86 @@
+"""Engine edge cases: fit_cca per-epoch refit, NaN abort, OMR golden boxes."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from audio_sheet_retrieval_tpu.data import synthetic
+from audio_sheet_retrieval_tpu.data.iterators import (
+    MultiviewPoolIteratorUnsupervised,
+)
+from audio_sheet_retrieval_tpu.models import cca_model
+from audio_sheet_retrieval_tpu.models.configs import get_model_config
+from audio_sheet_retrieval_tpu.train import engine
+
+
+def _tiny(**over):
+    defaults = dict(num_filters=4, dim_latent=8, batch_size=20, k_samples=60,
+                    patience=1, refinement_steps=0, max_epochs=2)
+    defaults.update(over)
+    return get_model_config("mutopia_ccal_cont_rsz", **defaults)
+
+
+def test_fit_cca_true_path_runs(tmp_path):
+    """FIT_CCA=True: per-epoch offline numpy-CCA refit on the embedded
+    train subset (reference train_dcca_pool.py:249-253)."""
+    cfg = _tiny(fit_cca=True)
+    data = synthetic.load_synthetic_retrieval(n_train=2, n_valid=1, n_test=1,
+                                              seed=11, n_onsets=40)
+    params = cca_model.init_model(jax.random.PRNGKey(0), cfg)
+    tr_it = MultiviewPoolIteratorUnsupervised(batch_size=20, k_samples=60)
+    va_it = MultiviewPoolIteratorUnsupervised(batch_size=20, shuffle=False)
+    epochs = []
+    _, best_map = engine.fit(params, data, cfg, tr_it, va_it,
+                             out_path=str(tmp_path), verbose=False,
+                             on_epoch=epochs.append)
+    assert len(epochs) == 2
+    assert np.isfinite(best_map)
+
+
+def test_nan_loss_aborts(tmp_path):
+    """NaN training loss forces patience exhaustion (reference :410-411)."""
+    cfg = _tiny(ini_learning_rate=1e20, max_epochs=10)  # guaranteed blowup
+    data = synthetic.load_synthetic_retrieval(n_train=2, n_valid=1, n_test=1,
+                                              seed=12, n_onsets=40)
+    params = cca_model.init_model(jax.random.PRNGKey(0), cfg)
+    tr_it = MultiviewPoolIteratorUnsupervised(batch_size=20, k_samples=60)
+    va_it = MultiviewPoolIteratorUnsupervised(batch_size=20, shuffle=False)
+    epochs = []
+    engine.fit(params, data, cfg, tr_it, va_it, out_path=str(tmp_path),
+               verbose=False, on_epoch=epochs.append)
+    # must stop well before max_epochs once the loss goes NaN
+    assert len(epochs) <= 4
+
+
+OMR_DIR = "/root/reference/audio_sheet_retrieval/sheet_utils/omr_models"
+PAGE = "/root/reference/tutorials/sheet_image.png"
+
+# golden system boxes detected on the tutorial page (row0, row1) per system
+GOLDEN_SYSTEM_ROWS = [(116, 214), (299, 393), (478, 571), (657, 760),
+                      (845, 947), (1032, 1127)]
+
+
+@pytest.mark.skipif(not os.path.exists(OMR_DIR), reason="reference absent")
+def test_omr_system_boxes_match_golden():
+    import cv2
+
+    from audio_sheet_retrieval_tpu.omr.detectors import OpticalMusicRecognizer
+    from audio_sheet_retrieval_tpu.omr.inference import (
+        SegmentationNetwork,
+        prepare_image,
+    )
+
+    img = cv2.imread(PAGE, 0)
+    img = cv2.resize(img, (835, int(835 / img.shape[1] * img.shape[0])))
+    omr = OpticalMusicRecognizer(
+        system_detector=SegmentationNetwork.load(
+            os.path.join(OMR_DIR, "system_params.pkl")),
+        bar_detector=SegmentationNetwork.load(
+            os.path.join(OMR_DIR, "bar_params.pkl")))
+    systems = omr.detect_systems(prepare_image(img))
+    assert len(systems) == len(GOLDEN_SYSTEM_ROWS)
+    for (r0, r1), sys_box in zip(GOLDEN_SYSTEM_ROWS, systems):
+        assert abs(sys_box[0, 0] - r0) <= 6, (r0, sys_box[0, 0])
+        assert abs(sys_box[2, 0] - r1) <= 6, (r1, sys_box[2, 0])
