@@ -69,17 +69,21 @@ class RetrievalWrapper:
         # weight arrays get inlined as HLO constants, which bloats programs
         # and degrades dispatch latency on tunneled backends.
         cfg = model_cfg
+        compute_dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+                         else jnp.float32)
         if folded:
             fm = jax.device_put(cca_model.fold(params))
 
             @jax.jit
             def v1_p(m, x):
                 return cca_model.folded_embed_view1(
-                    m, prepare_view1_device(x, cfg))
+                    m, prepare_view1_device(x, cfg),
+                    compute_dtype=compute_dtype)
 
             @jax.jit
             def v2_p(m, x):
-                return cca_model.folded_embed_view2(m, prepare_view2_device(x))
+                return cca_model.folded_embed_view2(
+                    m, prepare_view2_device(x), compute_dtype=compute_dtype)
 
             self._v1 = lambda x: v1_p(fm, x)
             self._v2 = lambda x: v2_p(fm, x)
