@@ -58,28 +58,39 @@ def _tconv2x2(x, w_ciokl):
     return y.reshape(n, 2 * h, 2 * wdt, y.shape[-1])
 
 
-def unet_apply(params: Dict[str, Any], x: jnp.ndarray) -> jnp.ndarray:
+def unet_apply(params: Dict[str, Any], x: jnp.ndarray,
+               return_intermediates: bool = False):
     """Eval-mode forward: [N, H, W, 1] float in [0, 1] -> [N, H, W] sigmoid
-    probability map. H and W must be multiples of 8 (3 pooling stages)."""
+    probability map. H and W must be multiples of 8 (3 pooling stages).
+
+    ``return_intermediates`` additionally returns the named stage
+    activations (the reference Network.compute_layer_output debugging
+    facility, omr.py:138-163)."""
     h = x
     skips = []
+    inter = {}
     for i, blk in enumerate(params["enc"]):
         h = jax.nn.elu(_bn_eval(_conv_same(h, blk["w"]), blk))
+        inter[f"enc{i}"] = h
         if i % 2 == 1 and i < N_ENC_BLOCKS - 1:
             skips.append(h)
             h = _maxpool2(h)
     # skips = [p1(8ch), p2(16ch), p3(32ch)]; bottleneck h is 64ch
-    for stage, skip in zip(params["dec"], reversed(skips)):
+    for j, (stage, skip) in enumerate(zip(params["dec"], reversed(skips))):
         h = _tconv2x2(h, stage["tconv_w"])
         h = jax.nn.relu(_bn_eval(h, stage["tconv_bn"]))
         h = h + skip
         h = _bn_eval(h, stage["sum_bn"])
         for blk in (stage["conv1"], stage["conv2"]):
             h = jax.nn.elu(_bn_eval(_conv_same(h, blk["w"]), blk))
+        inter[f"dec{j}"] = h
         # dropout: identity at eval (reference system_detector.py:58,66)
     head = params["head"]
     h = _conv_same(h, head["w"]) + head["b"]
-    return jax.nn.sigmoid(h[..., 0])
+    out = jax.nn.sigmoid(h[..., 0])
+    if return_intermediates:
+        return out, inter
+    return out
 
 
 def _import_conv_bn(arrays, i, flip: bool):

@@ -89,6 +89,25 @@ def _traceback(D0: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return np.asarray(p), np.asarray(q)
 
 
+def fastdtw(x: np.ndarray, y: np.ndarray, dist: str = "cosine",
+            use_device: bool = True):
+    """DTW of two feature sequences: distance matrix + dtw_by_dist
+    (reference dtw_by_dist.py:37-66). ``dist`` is any scipy cdist metric;
+    'cosine' runs as a device matmul."""
+    if dist == "cosine":
+        from audio_sheet_retrieval_tpu.ops.metrics import (
+            cosine_distance_matrix,
+        )
+
+        D = np.asarray(cosine_distance_matrix(
+            jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32)))
+    else:
+        from scipy.spatial.distance import cdist
+
+        D = cdist(x, y, dist)
+    return dtw_by_dist(D, use_device=use_device)
+
+
 def dtw_by_dist(dist: np.ndarray, use_device: bool = True):
     """-> (normalized min distance, cost matrix, accumulated matrix, path).
 

@@ -118,3 +118,16 @@ def test_hashing_pool_entities_and_slices():
     sh, sp = pool[0:3]
     assert sh.shape == (3, 1, 50, 100)
     assert sp.shape == (3, 1, 92, 40)
+
+
+def test_fastdtw_from_sequences():
+    rng = np.random.default_rng(10)
+    x = rng.standard_normal((30, 8)).astype(np.float32)
+    # y is x with some frames repeated: path must be monotone through all
+    y = np.repeat(x, 2, axis=0)
+    d, C, D1, path = dtw.fastdtw(x, y, dist="cosine", use_device=False)
+    assert np.isfinite(d)
+    assert len(path[0]) >= max(len(x), len(y))
+    # identical sequences align on the diagonal with ~zero cost
+    d2, _, _, p2 = dtw.fastdtw(x, x.copy(), dist="cosine", use_device=False)
+    assert d2 < 1e-5

@@ -84,3 +84,34 @@ def test_omr_system_boxes_match_golden():
     for (r0, r1), sys_box in zip(GOLDEN_SYSTEM_ROWS, systems):
         assert abs(sys_box[0, 0] - r0) <= 6, (r0, sys_box[0, 0])
         assert abs(sys_box[2, 0] - r1) <= 6, (r1, sys_box[2, 0])
+
+
+def test_pretrain_burn_in_runs(tmp_path):
+    """pretrain_epochs warms the CCA running statistics before training
+    (reference train_dcca_pool.py:170-182)."""
+    cfg = _tiny(pretrain_epochs=2, alpha=0.5)
+    data = synthetic.load_synthetic_retrieval(n_train=2, n_valid=1, n_test=1,
+                                              seed=13, n_onsets=40)
+    params = cca_model.init_model(jax.random.PRNGKey(0), cfg)
+    tr_it = MultiviewPoolIteratorUnsupervised(batch_size=20, k_samples=60)
+    va_it = MultiviewPoolIteratorUnsupervised(batch_size=20, shuffle=False)
+    epochs = []
+    _, best = engine.fit(params, data, cfg, tr_it, va_it,
+                         out_path=str(tmp_path), verbose=False,
+                         on_epoch=epochs.append)
+    assert len(epochs) == 2 and np.isfinite(best)
+
+
+def test_unet_intermediates():
+    from tests.test_omr import _random_unet_params
+
+    import jax.numpy as jnp
+
+    from audio_sheet_retrieval_tpu.models import unet
+
+    params = _random_unet_params(9)
+    x = jnp.zeros((1, 32, 32, 1))
+    out, inter = unet.unet_apply(params, x, return_intermediates=True)
+    assert out.shape == (1, 32, 32)
+    assert inter["enc0"].shape == (1, 32, 32, 8)
+    assert inter["dec2"].shape == (1, 32, 32, 8)
