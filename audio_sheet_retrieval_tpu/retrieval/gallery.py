@@ -81,9 +81,12 @@ class DeviceGallery:
 
             qn = _normalize(q.astype(jnp.float32))
             # padding rows are zero -> score 0; they only surface when the
-            # gallery has fewer than k positive-scoring rows, masked below
+            # gallery has fewer than k positive-scoring rows — mask the score
+            # AND clamp the index (ids[] lookups must stay in range)
             s, i = topk_gallery(qn, self.gallery_n[: len(self.valid)], k)
-            s = jnp.where(i < self.n, s, -jnp.inf)
+            valid = i < self.n
+            s = jnp.where(valid, s, -jnp.inf)
+            i = jnp.where(valid, i, 0)
             return np.asarray(1.0 - s), np.asarray(i)
         d, i = _topk_query(self.gallery_nt, self.valid, q, k)
         return np.asarray(d), np.asarray(i)

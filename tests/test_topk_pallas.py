@@ -59,3 +59,16 @@ def test_device_gallery_pallas_backend_agrees():
     np.testing.assert_allclose(np.sort(d1, 1), np.sort(d2, 1), atol=1e-5)
     for r in range(7):
         assert set(i1[r]) == set(i2[r])
+
+
+def test_device_gallery_pallas_padding_indices_stay_in_range():
+    """Anti-correlated queries: padding zeros outscore real rows; indices
+    must still be valid for the ids[] lookup."""
+    rng = np.random.default_rng(2)
+    codes = rng.standard_normal((10, 8)).astype(np.float32)
+    gal = DeviceGallery(codes, np.arange(10), bucket=128, use_pallas=True)
+    q = -codes[:3]  # scores all negative -> zeros would win
+    d, i = gal.topk(q, 8)
+    assert (i < 10).all() and (i >= 0).all()
+    ids, idx = gal.topk_ids(q, 8)  # must not raise
+    assert ids.shape == (3, 8)
