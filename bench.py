@@ -18,6 +18,9 @@ Env knobs:
   ASR_BENCH_PIECES  number of benchmark pieces (default 24)
   ASR_BENCH_SECS    audio seconds per piece (default 60)
   ASR_BENCH_WIDTH   strip width px per piece (default 20000)
+  ASR_BENCH_PACK4   1 (default): upload sheet strips 4-bit packed (pairwise
+                    embedding cosine >= 0.99996 vs full precision — see
+                    PARITY.md); 0: raw uint8
 """
 
 from __future__ import annotations
@@ -83,7 +86,12 @@ def main():
     sheet_w = cfg.input_shape_1[2]
     spec_w = cfg.input_shape_2[2]
 
-    embed_strip = win.make_strip_embedder(params, cfg, center_crop=160)
+    pack4 = os.environ.get("ASR_BENCH_PACK4", "1") == "1"
+    if pack4:
+        embed_strip = win.make_strip_embedder_packed(params, cfg,
+                                                     center_crop=160)
+    else:
+        embed_strip = win.make_strip_embedder(params, cfg, center_crop=160)
     embed_audio = win.make_audio_embedder(params, cfg, proc)
 
     # fixed per-piece geometry -> each jit compiles exactly once
@@ -94,13 +102,16 @@ def main():
     sheet_starts_d = jnp.asarray(sheet_starts)
     spec_starts_d = jnp.asarray(spec_starts)
     emb_per_piece = len(sheet_starts) + len(spec_starts)
-    bytes_per_piece = 200 * width + n_samples * 2
+    sheet_bytes = 200 * width // (2 if pack4 else 1)
+    bytes_per_piece = sheet_bytes + n_samples * 2
     log(f"per piece: {len(sheet_starts)} sheet + {len(spec_starts)} audio "
         f"embeddings, {bytes_per_piece / 1e6:.1f} MB raw upload")
 
     rng = np.random.default_rng(0)
     strips = [(rng.random((200, width)) * 255).astype(np.uint8)
               for _ in range(n_pieces)]
+    if pack4:
+        strips = [win.pack_strip_4bit(s_) for s_ in strips]
     audios = [(rng.standard_normal(n_samples) * 3000).astype(np.int16)
               for _ in range(n_pieces)]
 
@@ -202,6 +213,7 @@ def main():
             "train_updates_per_s": (round(train_ups, 1)
                                     if train_ups else None),
             "dtype": dtype,
+            "sheet_upload": "4bit-packed" if pack4 else "uint8",
             "device": str(dev),
         },
     }))

@@ -64,3 +64,26 @@ def test_audio_embedder_fused_path_matches_host_chain():
     nf = audio.num_frames_for(len(sig), proc.hop_size)
     got = np.asarray(embed(jnp.asarray(sig), jnp.asarray(starts), nf))
     np.testing.assert_allclose(got, want, atol=5e-4)
+
+
+def test_pack4_roundtrip_and_embedding_parity():
+    rng = np.random.default_rng(7)
+    strip = (rng.random((200, 1000)) * 255).astype(np.uint8)
+    packed = windows.pack_strip_4bit(strip)
+    assert packed.shape == (200, 500)
+    unpacked = np.asarray(windows.unpack_strip_4bit(jnp.asarray(packed)))
+    # quantization error bounded by half a level
+    assert np.abs(unpacked.astype(int) - strip.astype(int)).max() <= 9
+
+    cfg = get_model_config("mutopia_ccal_cont_rsz", num_filters=4,
+                           dim_latent=8)
+    params = cca_model.init_model(jax.random.PRNGKey(11), cfg)
+    params = params._replace(cca=params.cca._replace(
+        U=jnp.eye(cfg.dim_latent), V=jnp.eye(cfg.dim_latent)))
+    starts = windows.linspace_starts(1000, 200, 6)
+    full = windows.make_strip_embedder(params, cfg, center_crop=160)
+    pk = windows.make_strip_embedder_packed(params, cfg, center_crop=160)
+    a = np.asarray(full(jnp.asarray(strip), jnp.asarray(starts)))
+    b = np.asarray(pk(jnp.asarray(packed), jnp.asarray(starts)))
+    cos = np.sum(a * b, axis=1)
+    assert cos.min() > 0.995  # random-weight net; real weights are >0.9999
