@@ -47,6 +47,28 @@ def load_pytree(path: str, like: Any = None) -> Any:
     return tree
 
 
+def save_pytree_orbax(path: str, tree: Any) -> None:
+    """Durable checkpointing via Orbax (directory-based, async-capable) —
+    the production alternative to the pickle format for long training runs.
+    """
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), to_numpy_tree(tree), force=True)
+    ckptr.wait_until_finished()
+
+
+def load_pytree_orbax(path: str, like: Any) -> Any:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(os.path.abspath(path),
+                             target=to_numpy_tree(like))
+    leaves = jax.tree.leaves(restored)
+    treedef = jax.tree.structure(like)
+    return jax.tree.unflatten(treedef, [jnp.asarray(v) for v in leaves])
+
+
 def save_results(path: str, results: dict) -> None:
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(path, "wb") as fp:

@@ -137,3 +137,34 @@ def test_streaming_gui_renders_frames(tmp_path):
     srv.run(spec=specs[0][0][:, :50], gui=True, fig_dir=fig_dir,
             max_frames=47, n_candidates=3, top_k=2)
     assert len(os.listdir(fig_dir)) == 47
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    import jax
+
+    from audio_sheet_retrieval_tpu.models import cca_model
+    from audio_sheet_retrieval_tpu.utils import io as uio
+
+    cfg = get_model_config("mutopia_ccal_cont_rsz", num_filters=4,
+                           dim_latent=8)
+    params = cca_model.init_model(jax.random.PRNGKey(3), cfg)
+    path = str(tmp_path / "orbax_ckpt")
+    uio.save_pytree_orbax(path, params)
+    back = uio.load_pytree_orbax(path, params)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_profiler_trace_smoke(tmp_path):
+    import jax.numpy as jnp
+
+    from audio_sheet_retrieval_tpu.utils import profiling
+
+    timer = profiling.StepTimer(window=3)
+    with profiling.trace(str(tmp_path / "trace")):
+        for _ in range(4):
+            (jnp.ones((64, 64)) @ jnp.ones((64, 64))).block_until_ready()
+            timer.tick()
+    assert timer.steps_per_sec > 0
+    assert os.path.exists(str(tmp_path / "trace"))
+    assert profiling.device_memory_stats()
