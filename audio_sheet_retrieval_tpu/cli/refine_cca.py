@@ -39,27 +39,25 @@ def refine(params, cfg, data, n_train: int = 25000, batch_size: int = 100,
     n_train = min(n_train, data["train"].shape[0])
     X1, X2 = data["train"][0:n_train]
 
-    # params ride as jit arguments (closure constants bloat the program)
+    # params ride as jit arguments (closure constants bloat the program);
+    # pre_cca_latent_v* honor cfg.compute_dtype so the fit sees the same
+    # latent distribution the serving path produces
     @jax.jit
-    def pre1_p(view, x):
-        h, _ = cca_model.enc.encoder_apply(
-            view, prepare_view1_device(x, cfg), train=False)
-        return h
+    def pre1_p(p, x):
+        return cca_model.pre_cca_latent_v1(p, prepare_view1_device(x, cfg),
+                                           cfg)
 
     @jax.jit
-    def pre2_p(view, x):
-        h, _ = cca_model.enc.encoder_apply(
-            view, prepare_view2_device(x), train=False)
-        return h
+    def pre2_p(p, x):
+        return cca_model.pre_cca_latent_v2(p, prepare_view2_device(x), cfg)
 
-    v1_dev = jax.device_put(params.view1)
-    v2_dev = jax.device_put(params.view2)
+    p_dev = jax.device_put(params)
 
     def pre1(x):
-        return pre1_p(v1_dev, jnp.asarray(x))
+        return pre1_p(p_dev, jnp.asarray(x))
 
     def pre2(x):
-        return pre2_p(v2_dev, jnp.asarray(x))
+        return pre2_p(p_dev, jnp.asarray(x))
 
     if verbose:
         print("Computing train output (%d samples)..." % n_train)

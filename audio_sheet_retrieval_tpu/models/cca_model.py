@@ -122,14 +122,24 @@ def forward_eval(params: ModelParams, x1, x2, cfg: ModelConfig):
     return embed_view1(params, x1, cfg), embed_view2(params, x2, cfg)
 
 
-def pre_cca_latents(params: ModelParams, x1, x2, cfg: ModelConfig):
-    """Deterministic encoder outputs BEFORE the CCA head — the inputs to the
-    large-batch refinement fit (reference:refine_cca.py:86-97)."""
+def pre_cca_latent_v1(params: ModelParams, x1, cfg: ModelConfig):
+    """Deterministic view-1 encoder output BEFORE the CCA head — input to
+    the large-batch refinement fit (reference:refine_cca.py:86-97)."""
     h1, _ = enc.encoder_apply(params.view1, x1, train=False,
                               compute_dtype=_dtype(cfg))
+    return h1
+
+
+def pre_cca_latent_v2(params: ModelParams, x2, cfg: ModelConfig):
     h2, _ = enc.encoder_apply(params.view2, x2, train=False,
                               compute_dtype=_dtype(cfg))
-    return h1, h2
+    return h2
+
+
+def pre_cca_latents(params: ModelParams, x1, x2, cfg: ModelConfig):
+    """Both views' pre-CCA encoder outputs."""
+    return (pre_cca_latent_v1(params, x1, cfg),
+            pre_cca_latent_v2(params, x2, cfg))
 
 
 # --- serving fast path -------------------------------------------------------

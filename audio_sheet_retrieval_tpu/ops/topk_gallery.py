@@ -35,7 +35,7 @@ DEFAULT_TILE = 512  # gallery rows per grid step
 
 
 def _topk_kernel(q_ref, g_ref, out_s_ref, out_i_ref, scratch_s, scratch_i,
-                 *, k: int, tile: int):
+                 *, k: int, tile: int, n_real: int):
     t = pl.program_id(1)
     n_tiles = pl.num_programs(1)
 
@@ -49,6 +49,11 @@ def _topk_kernel(q_ref, g_ref, out_s_ref, out_i_ref, scratch_s, scratch_i,
         q_ref[:], g_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
+    # padding rows (gallery index >= n_real) must never beat real rows,
+    # even negative-scoring ones: mask to -inf BEFORE selection
+    col_global = t * tile + jax.lax.broadcasted_iota(
+        jnp.int32, scores.shape, 1)
+    scores = jnp.where(col_global < n_real, scores, NEG_INF)
 
     q = scores.shape[0]
     # threshold pruning: merge only when some query's k-th best is beaten
@@ -94,9 +99,10 @@ def _topk_kernel(q_ref, g_ref, out_s_ref, out_i_ref, scratch_s, scratch_i,
         out_i_ref[:] = scratch_i[:]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "tile", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("k", "tile", "n_real", "interpret"))
 def _topk_pallas(queries: jnp.ndarray, gallery: jnp.ndarray, k: int,
-                 tile: int, interpret: bool = False):
+                 tile: int, n_real: int, interpret: bool = False):
     qn, d = queries.shape
     n = gallery.shape[0]
     assert n % tile == 0, (n, tile)
@@ -106,7 +112,7 @@ def _topk_pallas(queries: jnp.ndarray, gallery: jnp.ndarray, k: int,
     # so the running top-k scratch is swept per query block)
     grid = (qn // qblk, n // tile)
     out_s, out_i = pl.pallas_call(
-        functools.partial(_topk_kernel, k=k, tile=tile),
+        functools.partial(_topk_kernel, k=k, tile=tile, n_real=n_real),
         grid=grid,
         in_specs=[
             pl.BlockSpec((qblk, d), lambda qb, t: (qb, 0),
@@ -162,20 +168,10 @@ def topk_gallery(queries, gallery, k: int, tile: int = DEFAULT_TILE,
     if q_pad != qn:
         queries = jnp.pad(queries, ((0, q_pad - qn), (0, 0)))
     if n_pad != n:
-        # zero rows would score 0 (> -inf); push them to -inf via a giant
-        # negative bias on a synthetic extra dimension is overkill — instead
-        # repeat the first gallery row, which can only displace ties of
-        # itself when k == n; mask below.
+        # zero-padding rows are masked to -inf inside the kernel (by global
+        # column index), so they can never evict real rows
         gallery = jnp.pad(gallery, ((0, n_pad - n), (0, 0)))
     if interpret is None:
         interpret = jax.default_backend() != "tpu"  # CPU tests use interpreter
-    s, i = _topk_pallas(queries, gallery, k, tile, interpret)
-    s, i = s[:qn], i[:qn]
-    if n_pad != n:
-        # padding rows are all-zero: score exactly 0; they can only enter the
-        # top-k when fewer than k real rows beat 0 — mask them out of the
-        # index space deterministically
-        valid = i < n
-        s = jnp.where(valid, s, NEG_INF)
-        i = jnp.where(valid, i, 0)
-    return s, i
+    s, i = _topk_pallas(queries, gallery, k, tile, n, interpret)
+    return s[:qn], i[:qn]

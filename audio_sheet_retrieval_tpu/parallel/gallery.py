@@ -14,7 +14,7 @@ Design (new; the reference has no distributed path — SURVEY.md §2):
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -25,20 +25,31 @@ from audio_sheet_retrieval_tpu.ops import cca as cca_ops
 from audio_sheet_retrieval_tpu.parallel.mesh import DB_AXIS
 
 
-def make_sharded_topk(mesh: Mesh, k: int, axis: str = DB_AXIS):
+def make_sharded_topk(mesh: Mesh, k: int, axis: str = DB_AXIS,
+                      n_real: Optional[int] = None):
     """Build a jitted sharded gallery search.
 
     Returned fn: (gallery_shards [N, d] (sharded on axis over dim 0),
     queries [Q, d] (replicated)) -> (scores [Q, k], global indices [Q, k]).
+    ``n_real``: actual gallery row count — padding rows beyond it are masked
+    to -inf BEFORE the local top-k so zero-padding can never evict real
+    (possibly negative-scoring) rows.
     """
     n_shards = mesh.shape[axis]
 
     def local_search(gal, q):
         # gal: [N/m, d] local shard; q: [Q, d] replicated
         shard_size = gal.shape[0]
+        base = jax.lax.axis_index(axis) * shard_size
         scores = jnp.dot(q, gal.T, preferred_element_type=jnp.float32)
-        s, i = jax.lax.top_k(scores, k)
-        i = i + jax.lax.axis_index(axis) * shard_size
+        if n_real is not None:
+            col_global = base + jax.lax.broadcasted_iota(
+                jnp.int32, scores.shape, 1)
+            scores = jnp.where(col_global < n_real, scores, -jnp.inf)
+        # tiny shards may hold fewer than k rows; m*k_local >= k still holds
+        k_local = min(k, shard_size)
+        s, i = jax.lax.top_k(scores, k_local)
+        i = i + base
         # gather the candidate lists of all shards: [Q, m*k]
         s_all = jax.lax.all_gather(s, axis, axis=1, tiled=True)
         i_all = jax.lax.all_gather(i, axis, axis=1, tiled=True)
@@ -71,14 +82,14 @@ def sharded_gallery_search(mesh: Mesh, gallery: np.ndarray,
     norms = np.linalg.norm(g, axis=1, keepdims=True)
     g = g / np.where(norms == 0, 1.0, norms)
 
-    fn, _ = make_sharded_topk(mesh, k, axis)
+    fn, _ = make_sharded_topk(mesh, k, axis, n_real=n)
     gal_dev = jax.device_put(g, NamedSharding(mesh, P(axis, None)))
     q = np.asarray(queries, np.float32)
     qn = q / np.linalg.norm(q, axis=1, keepdims=True)
     q_dev = jax.device_put(qn, NamedSharding(mesh, P(None, None)))
     s, i = fn(gal_dev, q_dev)
     s, i = np.asarray(s), np.asarray(i)
-    # drop padding hits (only possible when k > n within a shard)
+    # padding is masked in-kernel; clamp defensively for k > n
     valid = i < n
     return np.where(valid, s, -np.inf), np.where(valid, i, 0)
 

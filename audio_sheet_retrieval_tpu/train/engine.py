@@ -286,10 +286,13 @@ def fit(
                 it_copy.epoch_counter = 0
                 V1_tr, V2_tr = [], []
                 n_collected = 0
+                # drain the generator fully (like the reference,
+                # train_dcca_pool.py:239-246): breaking out would leave the
+                # prefetch producer thread blocked on its queue forever
                 for x1, x2 in threaded_generator_from_iterator(
                         it_copy(data["train"])):
                     if n_collected >= n_valid_cca:
-                        break
+                        continue
                     lv1, lv2 = embed_pair(params_now, put(x1), put(x2))
                     V1_tr.append(np.asarray(lv1))
                     V2_tr.append(np.asarray(lv2))

@@ -82,3 +82,20 @@ def test_dp_train_step_under_mesh(mesh8):
     w0 = np.asarray(st.trainable["view1"]["blocks"][0]["w"])
     w1 = np.asarray(st2.trainable["view1"]["blocks"][0]["w"])
     assert not np.allclose(w0, w1)
+
+
+def test_sharded_gallery_negative_scores_no_padding_eviction(mesh8):
+    """All-negative scores + padded gallery: padding must not displace real
+    rows (zero-score pads previously won)."""
+    rng = np.random.default_rng(5)
+    gallery = rng.standard_normal((13, 8)).astype(np.float32)  # pads to 16
+    queries = (-gallery[:2]).astype(np.float32)  # scores all negative
+    s, i = pg.sharded_gallery_search(mesh8, gallery, queries, k=6)
+    assert (i < 13).all()
+    assert np.isfinite(s).all()
+    # oracle
+    gn = gallery / np.linalg.norm(gallery, axis=1, keepdims=True)
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    want = np.argsort(-(qn @ gn.T), axis=1)[:, :6]
+    for r in range(2):
+        assert set(i[r]) == set(want[r])
