@@ -310,6 +310,53 @@ class AudioSheetServer:
         music_prob /= (spec.sum(axis=0).max() * 0.15)
         return float(np.clip(music_prob, 0.0, 1.0))
 
+    def run_device_stream(self, spec: np.ndarray, params, cfg,
+                          top_k: int = 5, n_candidates: int = 5,
+                          running_frames: Optional[int] = None,
+                          max_frames: Optional[int] = None,
+                          on_update: Optional[Callable] = None,
+                          chunk: int = 8):
+        """Fast streaming mode: sliding window + embed + gallery top-k run
+        on device (retrieval/streaming.py), ``chunk`` frames per dispatch;
+        the host keeps only the vote histogram. Voting semantics of run().
+        """
+        from audio_sheet_retrieval_tpu.retrieval.streaming import (
+            StreamingRetriever,
+        )
+
+        sr = StreamingRetriever(params, cfg, self.sheet_snippet_codes,
+                                self.sheet_snippet_ids,
+                                n_candidates=n_candidates,
+                                spec_max=float(spec.sum(axis=0).max()))
+        all_piece_ids = np.zeros(0, np.int64)
+        frame_times = np.zeros(10)
+        ranking, votes = [], np.zeros(0)
+        n_frames = spec.shape[1] if max_frames is None else min(
+            spec.shape[1], max_frames)
+        n_frames = (n_frames // chunk) * chunk
+        fps = 0.0
+        for c0 in range(0, n_frames, chunk):
+            start = time.time()
+            _, cand_rows = sr.push_frames(spec[:, c0:c0 + chunk].T)
+            for t, ids in enumerate(cand_rows):
+                if ids is None:
+                    continue
+                all_piece_ids = np.concatenate((all_piece_ids, ids))
+                if running_frames is not None:
+                    first_idx = running_frames * n_candidates
+                    if all_piece_ids.shape[0] > first_idx:
+                        all_piece_ids = all_piece_ids[-first_idx:]
+            if len(all_piece_ids):
+                unique, counts, order = vote_ranking(all_piece_ids, top_k)
+                ranking = [self.id_to_piece[unique[i]] for i in order]
+                votes = counts[order].astype(float) / counts.sum()
+            frame_times[1:] = frame_times[:-1]
+            frame_times[0] = (time.time() - start) / chunk
+            fps = 1.0 / max(frame_times.mean(), 1e-9)
+            if on_update is not None:
+                on_update(c0 + chunk - 1, ranking, votes, fps)
+        return ranking, votes, fps
+
     def run(self, spec: Optional[np.ndarray] = None, top_k: int = 5,
             n_candidates: int = 5, running_frames: Optional[int] = None,
             gui: bool = False, target_piece: Optional[str] = None,

@@ -120,3 +120,31 @@ def test_streaming_run_reports(setup):
     assert len(updates) == 80
     # after the window fills, rankings appear
     assert any(r for _, r in updates)
+
+
+def test_device_stream_matches_host_stream_votes(setup):
+    """Fused streaming path produces the same ranking as the host loop."""
+    srv, names, images, specs = setup
+    # same-modality gallery (untrained encoder: see detect_score test)
+    srv2 = AudioSheetServer()
+    srv2.initialize_embedding_network(srv.embed_network)
+    srv2.initialize_audio_db_from_specs(names, [s[0] for s in specs])
+    srv2.sheet_snippet_codes = srv2.perform_excerpt_codes
+    srv2.sheet_snippet_ids = srv2.perform_excerpt_ids
+    srv2.id_to_piece = dict(srv2.id_to_perform)
+    srv2._refresh_sheet_gallery()
+
+    spec = specs[1][0][:, :90]
+    host_rank, host_votes = srv2.run(spec=spec, top_k=3, n_candidates=5,
+                                     on_update=lambda *a: None)
+    params = srv.embed_network.params
+    from audio_sheet_retrieval_tpu.models.configs import get_model_config
+
+    cfg = get_model_config("mutopia_ccal_cont_rsz", num_filters=4,
+                           dim_latent=8)
+    import jax.numpy as jnp
+
+    dev_rank, dev_votes, fps = srv2.run_device_stream(
+        spec, srv.embed_network.params, cfg, top_k=3, n_candidates=5)
+    assert dev_rank[0] == host_rank[0]
+    assert fps > 0
