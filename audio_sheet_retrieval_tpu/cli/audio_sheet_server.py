@@ -100,6 +100,9 @@ def build_arg_parser():
     parser.add_argument("--db_file", type=str, default="sheet_db_file.pkl")
     parser.add_argument("--n_test_pieces", type=int, default=None,
                         help="synthetic source: number of test pieces")
+    parser.add_argument("--host_stream", action="store_true",
+                        help="use the reference-style host streaming loop "
+                             "instead of the fused device stream")
     return parser
 
 
@@ -182,10 +185,19 @@ def main(argv=None):
     print(col.print_colored("\nQuery piece: %s" % tp, color=col.OKBLUE))
     srv.detect_score(spec, top_k=min(7, len(te_pieces)),
                      n_candidates=args.n_candidates, verbose=True)
-    srv.run(spec, top_k=min(7, len(te_pieces)),
-            n_candidates=args.n_candidates,
-            running_frames=args.running_frames, target_piece=tp,
-            max_frames=200)
+    if args.host_stream:
+        srv.run(spec, top_k=min(7, len(te_pieces)),
+                n_candidates=args.n_candidates,
+                running_frames=args.running_frames, target_piece=tp,
+                max_frames=200)
+    else:
+        # fused device streaming (see retrieval/streaming.py)
+        ranking, votes, fps = srv.run_device_stream(
+            spec, srv.embed_network.params, model_cfg,
+            top_k=min(7, len(te_pieces)), n_candidates=args.n_candidates,
+            running_frames=args.running_frames, max_frames=200)
+        print("device streaming at %.1f frames/s; top: %s"
+              % (fps, ranking[:3]))
     return None
 
 
