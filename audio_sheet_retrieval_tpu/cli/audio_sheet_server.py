@@ -193,8 +193,8 @@ def main(argv=None):
     else:
         # fused device streaming (see retrieval/streaming.py)
         ranking, votes, fps = srv.run_device_stream(
-            spec, srv.embed_network.params, model_cfg,
-            top_k=min(7, len(te_pieces)), n_candidates=args.n_candidates,
+            spec, top_k=min(7, len(te_pieces)),
+            n_candidates=args.n_candidates,
             running_frames=args.running_frames, max_frames=200)
         print("device streaming at %.1f frames/s; top: %s"
               % (fps, ranking[:3]))

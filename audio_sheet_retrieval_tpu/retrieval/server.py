@@ -310,35 +310,51 @@ class AudioSheetServer:
         music_prob /= (spec.sum(axis=0).max() * 0.15)
         return float(np.clip(music_prob, 0.0, 1.0))
 
-    def run_device_stream(self, spec: np.ndarray, params, cfg,
+    def run_device_stream(self, spec: np.ndarray, params=None, cfg=None,
                           top_k: int = 5, n_candidates: int = 5,
                           running_frames: Optional[int] = None,
                           max_frames: Optional[int] = None,
                           on_update: Optional[Callable] = None,
                           chunk: int = 8):
         """Fast streaming mode: sliding window + embed + gallery top-k run
-        on device (retrieval/streaming.py), ``chunk`` frames per dispatch;
-        the host keeps only the vote histogram. Voting semantics of run().
+        on device (retrieval/streaming.py), ``chunk`` frames per dispatch
+        with a per-frame remainder pass; the host keeps only the vote
+        histogram. Voting semantics of run(). ``params``/``cfg`` default to
+        the attached embedding network's. The retriever (jit programs +
+        uploaded gallery) is cached across calls.
         """
         from audio_sheet_retrieval_tpu.retrieval.streaming import (
             StreamingRetriever,
         )
 
-        sr = StreamingRetriever(params, cfg, self.sheet_snippet_codes,
-                                self.sheet_snippet_ids,
-                                n_candidates=n_candidates,
-                                spec_max=float(spec.sum(axis=0).max()))
+        if params is None:
+            params = self.embed_network.params
+        if cfg is None:
+            cfg = self.embed_network.cfg
+        spec_max = float(spec.sum(axis=0).max())
+        cache_key = (id(params), cfg.name, cfg.dim_latent, n_candidates,
+                     id(self.sheet_snippet_codes))
+        cached = getattr(self, "_stream_cache", None)
+        if cached is not None and cached[0] == cache_key:
+            sr = cached[1]
+            sr.reset(spec_max=spec_max)
+        else:
+            sr = StreamingRetriever(params, cfg, self.sheet_snippet_codes,
+                                    self.sheet_snippet_ids,
+                                    n_candidates=n_candidates,
+                                    spec_max=spec_max)
+            self._stream_cache = (cache_key, sr)
+
         all_piece_ids = np.zeros(0, np.int64)
-        frame_times = np.zeros(10)
+        frame_times: list = []
         ranking, votes = [], np.zeros(0)
         n_frames = spec.shape[1] if max_frames is None else min(
             spec.shape[1], max_frames)
-        n_frames = (n_frames // chunk) * chunk
         fps = 0.0
-        for c0 in range(0, n_frames, chunk):
-            start = time.time()
-            _, cand_rows = sr.push_frames(spec[:, c0:c0 + chunk].T)
-            for t, ids in enumerate(cand_rows):
+
+        def ingest(cand_rows):
+            nonlocal all_piece_ids, ranking, votes
+            for ids in cand_rows:
                 if ids is None:
                     continue
                 all_piece_ids = np.concatenate((all_piece_ids, ids))
@@ -350,11 +366,24 @@ class AudioSheetServer:
                 unique, counts, order = vote_ranking(all_piece_ids, top_k)
                 ranking = [self.id_to_piece[unique[i]] for i in order]
                 votes = counts[order].astype(float) / counts.sum()
-            frame_times[1:] = frame_times[:-1]
-            frame_times[0] = (time.time() - start) / chunk
-            fps = 1.0 / max(frame_times.mean(), 1e-9)
+
+        n_full = (n_frames // chunk) * chunk
+        for c0 in range(0, n_full, chunk):
+            start = time.time()
+            _, cand_rows = sr.push_frames(spec[:, c0:c0 + chunk].T)
+            ingest(cand_rows)
+            frame_times.append((time.time() - start) / chunk)
+            fps = 1.0 / max(np.mean(frame_times[-10:]), 1e-9)
             if on_update is not None:
                 on_update(c0 + chunk - 1, ranking, votes, fps)
+        for i_frame in range(n_full, n_frames):  # tail remainder
+            start = time.time()
+            _, ids = sr.push_frame(spec[:, i_frame])
+            ingest([ids])
+            frame_times.append(time.time() - start)
+            fps = 1.0 / max(np.mean(frame_times[-10:]), 1e-9)
+            if on_update is not None:
+                on_update(i_frame, ranking, votes, fps)
         return ranking, votes, fps
 
     def run(self, spec: Optional[np.ndarray] = None, top_k: int = 5,

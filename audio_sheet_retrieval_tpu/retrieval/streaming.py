@@ -59,6 +59,9 @@ class StreamingRetriever:
             code = cca_model.embed_view2(p, x, cfg)          # [1, d]
             scores = jnp.dot(code, gal.T,
                              preferred_element_type=jnp.float32)[0]
+            # NaN codes (untrained zero projections) must degrade
+            # deterministically, like DeviceGallery's masked path
+            scores = jnp.where(jnp.isnan(scores), -jnp.inf, scores)
             _, idx = jax.lax.top_k(scores, n_cand)
             return running, m_prob, ids[idx]
 
@@ -93,7 +96,9 @@ class StreamingRetriever:
             jnp.float32(self._norm))
         self._frames_seen += 1
         m_prob = float(m_prob)
-        if m_prob > 0.5 and self._frames_seen >= self.window_len:
+        # host-loop parity: run() first embeds at i_frame == window_len,
+        # i.e. on the (window_len+1)-th frame (audio_sheet_server.py:117)
+        if m_prob > 0.5 and self._frames_seen > self.window_len:
             return m_prob, np.asarray(ids)
         return m_prob, None
 
@@ -114,7 +119,7 @@ class StreamingRetriever:
         out = []
         for t in range(len(frames)):
             self._frames_seen += 1
-            if probs[t] > 0.5 and self._frames_seen >= self.window_len:
+            if probs[t] > 0.5 and self._frames_seen > self.window_len:
                 out.append(cands[t])
             else:
                 out.append(None)

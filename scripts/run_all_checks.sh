@@ -4,7 +4,7 @@
 set -e
 cd "$(dirname "$0")/.."
 echo "=== tests ==="
-python -m pytest tests/ -q
+python3 -m pytest tests/ -q
 echo "=== driver hooks (virtual 8-device mesh) ==="
 XLA_FLAGS="--xla_force_host_platform_device_count=8" python3 -c "
 import jax; jax.config.update('jax_platforms','cpu')
@@ -15,4 +15,4 @@ print('entry OK:', [o.shape for o in out])
 g.dryrun_multichip(8)
 "
 echo "=== TPU benchmark ==="
-python bench.py
+python3 bench.py

@@ -137,14 +137,14 @@ def test_device_stream_matches_host_stream_votes(setup):
     spec = specs[1][0][:, :90]
     host_rank, host_votes = srv2.run(spec=spec, top_k=3, n_candidates=5,
                                      on_update=lambda *a: None)
-    params = srv.embed_network.params
-    from audio_sheet_retrieval_tpu.models.configs import get_model_config
-
-    cfg = get_model_config("mutopia_ccal_cont_rsz", num_filters=4,
-                           dim_latent=8)
-    import jax.numpy as jnp
-
     dev_rank, dev_votes, fps = srv2.run_device_stream(
-        spec, srv.embed_network.params, cfg, top_k=3, n_candidates=5)
+        spec, top_k=3, n_candidates=5)
     assert dev_rank[0] == host_rank[0]
+    # identical vote histograms (exact host-loop parity incl. warm-up)
+    np.testing.assert_allclose(np.asarray(dev_votes),
+                               np.asarray(host_votes), atol=1e-9)
     assert fps > 0
+    # cached retriever reused on a second call; tail-remainder path covered
+    dev_rank2, _, _ = srv2.run_device_stream(spec[:, :61], top_k=3,
+                                             n_candidates=5)
+    assert srv2._stream_cache is not None
