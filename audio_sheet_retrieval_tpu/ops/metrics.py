@@ -83,6 +83,44 @@ def retrieval_ranks_topk(lv1, lv2, topk: int = 25):
     return np.asarray(ranks), np.asarray(found)
 
 
+def retrieval_metrics_device(lv1: jnp.ndarray, lv2: jnp.ndarray
+                             ) -> jnp.ndarray:
+    """Traceable on-device evaluation: the full `eval_retrieval` reduced to
+    an 8-vector ``[mean_rank, median_rank, mean_diag, mrr,
+    hits@1, hits@5, hits@10, hits@25]`` (hits are counts, as float32).
+
+    Compose inside a larger jit (e.g. the engine's fused per-epoch eval) so
+    the per-epoch host download shrinks from the [n, d] code matrices to a
+    handful of scalars — on tunneled backends device→host transfers are the
+    expensive half of the eval step.
+    """
+    n1, n2 = int(lv1.shape[0]), int(lv2.shape[0])
+    k = n2 // n1 if n2 > n1 else 1
+    h = n1 // n2 if n1 > n2 else 1
+    dists = cosine_distance_matrix(lv1, lv2)
+    sorted_idx = jnp.argsort(dists, axis=1)
+    fixed_sorted = sorted_idx // k
+    i_fixed = (jnp.arange(n1) // h).reshape(-1, 1)
+    ranks = (jnp.argmax(fixed_sorted == i_fixed, axis=1) + 1
+             ).astype(jnp.float32)
+    m = min(n1, n2)
+    mean_diag = jnp.mean(jnp.diagonal(dists)[:m])
+    hits = jnp.stack([jnp.sum(ranks <= kk).astype(jnp.float32)
+                      for kk in HIT_RATE_KS])
+    head = jnp.stack([ranks.mean(), jnp.median(ranks), mean_diag,
+                      jnp.mean(1.0 / ranks)])
+    return jnp.concatenate([head, hits])
+
+
+def unpack_retrieval_metrics(vec: np.ndarray):
+    """Host-side unpack of `retrieval_metrics_device` into the exact
+    `eval_retrieval` return tuple (mean, median, dist, hit-dict, map)."""
+    vec = np.asarray(vec, np.float64)
+    hit_rates = {kk: int(round(vec[4 + i]))
+                 for i, kk in enumerate(HIT_RATE_KS)}
+    return float(vec[0]), float(vec[1]), float(vec[2]), hit_rates, float(vec[3])
+
+
 def eval_retrieval(lv1_cca, lv2_cca):
     """Reference-parity evaluation.
 

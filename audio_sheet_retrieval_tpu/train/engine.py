@@ -41,7 +41,11 @@ from audio_sheet_retrieval_tpu.models.cca_model import ModelParams
 from audio_sheet_retrieval_tpu.models.configs import ModelConfig
 from audio_sheet_retrieval_tpu.ops import cca as cca_ops
 from audio_sheet_retrieval_tpu.ops import losses
-from audio_sheet_retrieval_tpu.ops.metrics import eval_retrieval
+from audio_sheet_retrieval_tpu.ops.metrics import (
+    eval_retrieval,
+    retrieval_metrics_device,
+    unpack_retrieval_metrics,
+)
 from audio_sheet_retrieval_tpu.train import state as ts
 from audio_sheet_retrieval_tpu.utils import io as uio
 from audio_sheet_retrieval_tpu.utils.logging import BColors
@@ -138,6 +142,31 @@ def make_eval_fns(cfg: ModelConfig):
     return embed_pair, valid_loss, init_cca_step
 
 
+def make_fused_eval(cfg: ModelConfig):
+    """One jitted computation for the whole per-epoch evaluation: offline CCA
+    refit on the train subset (when cfg.fit_cca), projection of both splits,
+    and the full rank/hit/MRR reduction for each — returning two 8-vectors.
+
+    Replaces the host round-trip of the [n, d] code matrices (reference
+    train_dcca_pool.py:234-299 collects embeddings on the host and loops
+    scipy cdist/argsort) with a single dispatch whose download is 16 scalars.
+    """
+    fit_cca = bool(cfg.fit_cca)
+
+    @jax.jit
+    def fused_eval(lv1_tr, lv2_tr, lv1_va, lv2_va):
+        if fit_cca:
+            res = cca_ops.cca_fit(lv1_tr, lv2_tr, method="svd")
+            lv1_tr = cca_ops.cca_transform_v1(res, lv1_tr)
+            lv2_tr = cca_ops.cca_transform_v2(res, lv2_tr)
+            lv1_va = cca_ops.cca_transform_v1(res, lv1_va)
+            lv2_va = cca_ops.cca_transform_v2(res, lv2_va)
+        return (retrieval_metrics_device(lv1_tr, lv2_tr),
+                retrieval_metrics_device(lv1_va, lv2_va))
+
+    return fused_eval
+
+
 # --- fit ----------------------------------------------------------------------
 
 
@@ -217,6 +246,7 @@ def fit(
     n_valid_cca = int(min(1000, data["valid"].shape[0]))
     epoch_idx = 0
     epoch_runner = None
+    fused_eval = None
     # fused evaluation runners (single-dispatch embed+score) when the pools
     # are device-resident and no mesh resharding is involved
     embed_runner_tr = embed_runner_va = None
@@ -271,79 +301,108 @@ def fit(
             ups = n_batches / max(time.time() - t0, 1e-9)
             params_now = state.params(cfg)
 
-            # ---- embed train subset (fresh iterator copy, :234-246) ---------
-            if embed_runner_tr is not None:
+            # ---- evaluation --------------------------------------------------
+            if embed_runner_tr is not None and embed_runner_va is not None:
+                # fully on-device: embed, CCA refit and rank/hit/MRR reduction
+                # stay on the chip; the only downloads this epoch are the
+                # per-batch losses and 2x8 metric scalars (make_fused_eval)
+                if fused_eval is None:
+                    fused_eval = make_fused_eval(cfg)
                 bs = train_batch_iter.batch_size
                 nb = int(np.ceil(n_valid_cca / bs))
                 pool_tr = data["train"]
                 idx = np.arange(nb * bs) % pool_tr.shape[0]
                 entity_idx = pool_tr._order[idx.reshape(nb, bs)]
-                lv1d, lv2d, _ = embed_runner_tr(params_now, entity_idx)
-                V1_tr = np.asarray(lv1d)
-                V2_tr = np.asarray(lv2d)
-            else:
-                it_copy = copy.copy(train_batch_iter)
-                it_copy.epoch_counter = 0
-                V1_tr, V2_tr = [], []
-                n_collected = 0
-                # drain the generator fully (like the reference,
-                # train_dcca_pool.py:239-246): breaking out would leave the
-                # prefetch producer thread blocked on its queue forever
-                for x1, x2 in threaded_generator_from_iterator(
-                        it_copy(data["train"])):
-                    if n_collected >= n_valid_cca:
-                        continue
-                    lv1, lv2 = embed_pair(params_now, put(x1), put(x2))
-                    V1_tr.append(np.asarray(lv1))
-                    V2_tr.append(np.asarray(lv2))
-                    n_collected += lv1.shape[0]
-                V1_tr = np.vstack(V1_tr)
-                V2_tr = np.vstack(V2_tr)
-
-            if cfg.fit_cca:
-                res = cca_ops.cca_fit(V1_tr, V2_tr, method="svd")
-                lv1_tr = np.asarray(cca_ops.cca_transform_v1(res, V1_tr))
-                lv2_tr = np.asarray(cca_ops.cca_transform_v2(res, V2_tr))
-            else:
-                lv1_tr, lv2_tr = V1_tr, V2_tr
-            _, med_rank_tr, dist_tr, hit_tr, map_tr = eval_retrieval(
-                lv1_tr, lv2_tr)
-            mean_rank_tr = 1.0 - float(hit_tr[10]) / len(lv1_tr)
-
-            # ---- validation (:272-299) --------------------------------------
-            if embed_runner_va is not None:
-                va_it = valid_batch_iter(data["valid"])
-                entity_idx = va_it.epoch_entity_indices()
-                lv1d, lv2d, losses_va = embed_runner_va(params_now,
+                lv1_tr_d, lv2_tr_d, _ = embed_runner_tr(params_now,
                                                         entity_idx)
+                va_it = valid_batch_iter(data["valid"])
+                lv1_va_d, lv2_va_d, losses_va = embed_runner_va(
+                    params_now, va_it.epoch_entity_indices())
+                n_keep = max(n_valid_cca, va_it.batch_size)
+                vec_tr, vec_va = fused_eval(lv1_tr_d, lv2_tr_d,
+                                            lv1_va_d[:n_keep],
+                                            lv2_va_d[:n_keep])
                 va_loss = float(np.asarray(losses_va).mean())
-                V1_va = np.asarray(lv1d)[:max(n_valid_cca,
-                                              va_it.batch_size)]
-                V2_va = np.asarray(lv2d)[:max(n_valid_cca,
-                                              va_it.batch_size)]
+                _, med_rank_tr, dist_tr, hit_tr, map_tr = \
+                    unpack_retrieval_metrics(vec_tr)
+                _, med_rank_va, dist_va, hit_va, map_va = \
+                    unpack_retrieval_metrics(vec_va)
+                mean_rank_tr = 1.0 - float(hit_tr[10]) / (nb * bs)
+                mean_rank_va = 1.0 - float(hit_va[10]) / 1000.0
             else:
-                V1_va, V2_va, va_losses = [], [], []
-                n_collected = 0
-                for x1, x2 in threaded_generator_from_iterator(
-                        valid_batch_iter(data["valid"])):
-                    vloss, lv1, lv2 = valid_loss_fn(params_now, put(x1),
-                                                    put(x2))
-                    va_losses.append(float(vloss))
-                    if n_collected < n_valid_cca:
-                        V1_va.append(np.asarray(lv1))
-                        V2_va.append(np.asarray(lv2))
+                # ---- embed train subset (fresh iterator copy, :234-246) -----
+                if embed_runner_tr is not None:
+                    bs = train_batch_iter.batch_size
+                    nb = int(np.ceil(n_valid_cca / bs))
+                    pool_tr = data["train"]
+                    idx = np.arange(nb * bs) % pool_tr.shape[0]
+                    entity_idx = pool_tr._order[idx.reshape(nb, bs)]
+                    lv1d, lv2d, _ = embed_runner_tr(params_now, entity_idx)
+                    V1_tr = np.asarray(lv1d)
+                    V2_tr = np.asarray(lv2d)
+                else:
+                    it_copy = copy.copy(train_batch_iter)
+                    it_copy.epoch_counter = 0
+                    V1_tr, V2_tr = [], []
+                    n_collected = 0
+                    # drain the generator fully (like the reference,
+                    # train_dcca_pool.py:239-246): breaking out would leave
+                    # the prefetch producer thread blocked on its queue
+                    for x1, x2 in threaded_generator_from_iterator(
+                            it_copy(data["train"])):
+                        if n_collected >= n_valid_cca:
+                            continue
+                        lv1, lv2 = embed_pair(params_now, put(x1), put(x2))
+                        V1_tr.append(np.asarray(lv1))
+                        V2_tr.append(np.asarray(lv2))
                         n_collected += lv1.shape[0]
-                va_loss = float(np.mean(va_losses))
-                V1_va = np.vstack(V1_va)
-                V2_va = np.vstack(V2_va)
-            if cfg.fit_cca:
-                lv1_va = np.asarray(cca_ops.cca_transform_v1(res, V1_va))
-                lv2_va = np.asarray(cca_ops.cca_transform_v2(res, V2_va))
-            else:
-                lv1_va, lv2_va = V1_va, V2_va
-            _, med_rank_va, dist_va, hit_va, map_va = eval_retrieval(
-                lv1_va, lv2_va)
-            mean_rank_va = 1.0 - float(hit_va[10]) / 1000.0
+                    V1_tr = np.vstack(V1_tr)
+                    V2_tr = np.vstack(V2_tr)
+
+                if cfg.fit_cca:
+                    res = cca_ops.cca_fit(V1_tr, V2_tr, method="svd")
+                    lv1_tr = np.asarray(cca_ops.cca_transform_v1(res, V1_tr))
+                    lv2_tr = np.asarray(cca_ops.cca_transform_v2(res, V2_tr))
+                else:
+                    lv1_tr, lv2_tr = V1_tr, V2_tr
+                _, med_rank_tr, dist_tr, hit_tr, map_tr = eval_retrieval(
+                    lv1_tr, lv2_tr)
+                mean_rank_tr = 1.0 - float(hit_tr[10]) / len(lv1_tr)
+
+                # ---- validation (:272-299) ----------------------------------
+                if embed_runner_va is not None:
+                    va_it = valid_batch_iter(data["valid"])
+                    entity_idx = va_it.epoch_entity_indices()
+                    lv1d, lv2d, losses_va = embed_runner_va(params_now,
+                                                            entity_idx)
+                    va_loss = float(np.asarray(losses_va).mean())
+                    V1_va = np.asarray(lv1d)[:max(n_valid_cca,
+                                                  va_it.batch_size)]
+                    V2_va = np.asarray(lv2d)[:max(n_valid_cca,
+                                                  va_it.batch_size)]
+                else:
+                    V1_va, V2_va, va_losses = [], [], []
+                    n_collected = 0
+                    for x1, x2 in threaded_generator_from_iterator(
+                            valid_batch_iter(data["valid"])):
+                        vloss, lv1, lv2 = valid_loss_fn(params_now, put(x1),
+                                                        put(x2))
+                        va_losses.append(float(vloss))
+                        if n_collected < n_valid_cca:
+                            V1_va.append(np.asarray(lv1))
+                            V2_va.append(np.asarray(lv2))
+                            n_collected += lv1.shape[0]
+                    va_loss = float(np.mean(va_losses))
+                    V1_va = np.vstack(V1_va)
+                    V2_va = np.vstack(V2_va)
+                if cfg.fit_cca:
+                    lv1_va = np.asarray(cca_ops.cca_transform_v1(res, V1_va))
+                    lv2_va = np.asarray(cca_ops.cca_transform_v2(res, V2_va))
+                else:
+                    lv1_va, lv2_va = V1_va, V2_va
+                _, med_rank_va, dist_va, hit_va, map_va = eval_retrieval(
+                    lv1_va, lv2_va)
+                mean_rank_va = 1.0 - float(hit_va[10]) / 1000.0
 
             # ---- improvement / snapshot (:387-401) --------------------------
             improvement = map_va >= prev_map_va

@@ -93,3 +93,50 @@ def test_topk_fast_path_agrees_with_full():
     mask = full_ranks <= 25
     assert np.array_equal(found, mask)
     assert np.array_equal(topk_ranks[mask], full_ranks[mask])
+
+
+def test_device_metrics_match_host_eval():
+    """retrieval_metrics_device + unpack == eval_retrieval (all shapes)."""
+    import jax
+
+    rng = np.random.default_rng(5)
+    for n1, n2 in [(40, 40), (20, 60), (60, 20)]:
+        lv1, lv2 = _embeds(rng, n1, n2)
+        want = metrics.eval_retrieval(lv1, lv2)
+        vec = jax.jit(metrics.retrieval_metrics_device)(lv1, lv2)
+        got = metrics.unpack_retrieval_metrics(vec)
+        np.testing.assert_allclose(got[0], want[0], rtol=1e-5)  # mean rank
+        np.testing.assert_allclose(got[1], want[1], rtol=1e-5)  # median
+        np.testing.assert_allclose(got[2], want[2], rtol=1e-4)  # mean diag
+        assert got[3] == want[3]                                # hit dict
+        np.testing.assert_allclose(got[4], want[4], rtol=1e-5)  # mrr
+
+
+def test_fused_epoch_eval_matches_host_pipeline():
+    """make_fused_eval (CCA refit + metrics in one jit) == host sequence."""
+    from audio_sheet_retrieval_tpu.models.configs import get_model_config
+    from audio_sheet_retrieval_tpu.ops import cca as cca_ops
+    from audio_sheet_retrieval_tpu.train.engine import make_fused_eval
+
+    rng = np.random.default_rng(6)
+    lv1_tr, lv2_tr = _embeds(rng, 64, 64)
+    lv1_va, lv2_va = _embeds(rng, 32, 32)
+
+    cfg = get_model_config("mutopia_ccal_cont_rsz", dim_latent=8,
+                           fit_cca=True)
+    assert cfg.fit_cca
+    vec_tr, vec_va = make_fused_eval(cfg)(lv1_tr, lv2_tr, lv1_va, lv2_va)
+
+    res = cca_ops.cca_fit(np.asarray(lv1_tr), np.asarray(lv2_tr),
+                          method="svd")
+    p = lambda f, x: np.asarray(f(res, x))
+    want_tr = metrics.eval_retrieval(p(cca_ops.cca_transform_v1, lv1_tr),
+                                     p(cca_ops.cca_transform_v2, lv2_tr))
+    want_va = metrics.eval_retrieval(p(cca_ops.cca_transform_v1, lv1_va),
+                                     p(cca_ops.cca_transform_v2, lv2_va))
+    got_tr = metrics.unpack_retrieval_metrics(vec_tr)
+    got_va = metrics.unpack_retrieval_metrics(vec_va)
+    for got, want in [(got_tr, want_tr), (got_va, want_va)]:
+        assert got[3] == want[3]
+        np.testing.assert_allclose(got[4], want[4], rtol=1e-4)
+        np.testing.assert_allclose(got[1], want[1], rtol=1e-4)
