@@ -1,11 +1,12 @@
 """Audio file reading.
 
-The reference decodes flac/mp3 through madmom->ffmpeg. This environment has
-no ffmpeg/librosa/soundfile; supported here:
+The reference decodes flac/mp3 through madmom->ffmpeg. No ffmpeg/librosa/
+soundfile here; supported natively (native/audioio, built on first use):
 
   * .wav — via scipy.io.wavfile (pure python)
-  * .flac — via the native C++ decoder in native/audioio (ctypes), built with
-    ``python native/audioio/build.py`` (MSMD performances are flac)
+  * .flac — from-scratch C++ decoder (MSMD performances are flac)
+  * .mp3 — libmpg123-backed C++ path (the reference tutorial audio is mp3);
+    raises RuntimeError where libmpg123.so.0 is absent
 
 Returns (signal, sample_rate) with signal int16 [n] mono or [n, ch].
 """
@@ -41,12 +42,20 @@ def read_flac(path: str) -> Tuple[np.ndarray, int]:
     return flac_native.decode_file(path, _NATIVE_LIB)
 
 
+def read_mp3(path: str) -> Tuple[np.ndarray, int]:
+    from audio_sheet_retrieval_tpu.utils import flac_native
+
+    return flac_native.decode_file(path, _NATIVE_LIB, codec="mp3")
+
+
 def read_audio(path: str) -> Tuple[np.ndarray, int]:
     ext = os.path.splitext(path)[1].lower()
     if ext == ".wav":
         return read_wav(path)
     if ext == ".flac":
         return read_flac(path)
+    if ext == ".mp3":
+        return read_mp3(path)
     raise ValueError(
-        f"unsupported audio format '{ext}' ({path}); this environment has "
-        f"no mp3 decoder — convert to wav/flac")
+        f"unsupported audio format '{ext}' ({path}); "
+        f"supported: wav/flac/mp3")

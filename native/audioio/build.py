@@ -1,4 +1,4 @@
-"""Build libasraudio.so (native FLAC decoder). Usage: python build.py"""
+"""Build libasraudio.so (native FLAC + MPEG decoders). Usage: python build.py"""
 
 import os
 import subprocess
@@ -8,9 +8,11 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 
 
 def build(verbose: bool = True) -> str:
-    src = os.path.join(HERE, "flac_decoder.cpp")
+    srcs = [os.path.join(HERE, "flac_decoder.cpp"),
+            os.path.join(HERE, "mp3_decoder.cpp")]
     out = os.path.join(HERE, "libasraudio.so")
-    cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", "-o", out, src]
+    cmd = (["g++", "-O2", "-shared", "-fPIC", "-std=c++17", "-o", out]
+           + srcs + ["-ldl"])
     if verbose:
         print(" ".join(cmd))
     subprocess.run(cmd, check=True)
