@@ -174,3 +174,56 @@ def make_audio_embedder(params, cfg, processor):
         return embed_p(params, fb, win_arr, signal_i16, starts, num_frames)
 
     return embed
+
+
+def mulaw_encode(signal_i16: np.ndarray, mu: int = 255) -> np.ndarray:
+    """int16 waveform -> 8-bit mu-law companded bytes (host side).
+
+    Halves the audio host->device stream, which dominates serving ingest
+    once sheet strips are 4-bit packed. Decoding fuses into the embedding
+    program (make_audio_embedder_mulaw). Quality A/B with the reference
+    checkpoint + the reference tutorial recording: excerpt-embedding cosine
+    and cross-modal rankings in tests/test_windows.py; see PARITY.md.
+    """
+    x = np.asarray(signal_i16, np.float32) * (1.0 / 32768.0)
+    y = np.sign(x) * np.log1p(mu * np.abs(x)) * (1.0 / np.log1p(mu))
+    return np.round((y + 1.0) * 127.5).astype(np.uint8)
+
+
+def mulaw_decode_device(u8: jnp.ndarray, mu: float = 255.0) -> jnp.ndarray:
+    """Device-side inverse of mulaw_encode -> float32 in [-1, 1]."""
+    y = u8.astype(jnp.float32) * (1.0 / 127.5) - 1.0
+    return jnp.sign(y) * jnp.expm1(jnp.abs(y) * jnp.log1p(mu)) * (1.0 / mu)
+
+
+def make_audio_embedder_mulaw(params, cfg, processor):
+    """mu-law variant of make_audio_embedder: the host uploads 8-bit
+    companded samples (half the bytes); expansion + DSP + encoder stay one
+    jitted program."""
+    from audio_sheet_retrieval_tpu.models import cca_model
+    from audio_sheet_retrieval_tpu.train.engine import prepare_view2_device
+
+    window = cfg.input_shape_2[2]
+
+    @functools.partial(jax.jit, static_argnames=("num_frames",))
+    def embed_p(p, fb, win_fn, signal_u8, starts, num_frames: int):
+        # decode is /32768-scaled; the raw path divides int16 by 32767
+        sig = mulaw_decode_device(signal_u8) * (32768.0 / 32767.0)
+        from audio_sheet_retrieval_tpu.ops.audio import _spectrogram_core
+
+        starts_f = (jnp.arange(num_frames) * processor.hop_size
+                    ).astype(jnp.int32)
+        spec = _spectrogram_core(sig, win_fn, fb, starts_f, num_frames,
+                                 processor.frame_size).T
+        wins = gather_windows(spec, starts, window)
+        x = prepare_view2_device(wins[:, None, :, :])
+        return cca_model.embed_view2(p, x, cfg)
+
+    params = jax.device_put(params)
+    fb = processor.filterbank
+    win_arr = processor._window
+
+    def embed(signal_u8, starts, num_frames):
+        return embed_p(params, fb, win_arr, signal_u8, starts, num_frames)
+
+    return embed

@@ -87,3 +87,44 @@ def test_pack4_roundtrip_and_embedding_parity():
     b = np.asarray(pk(jnp.asarray(packed), jnp.asarray(starts)))
     cos = np.sum(a * b, axis=1)
     assert cos.min() > 0.995  # random-weight net; real weights are >0.9999
+
+
+def test_mulaw_roundtrip_snr():
+    rng = np.random.default_rng(11)
+    sr = 22050
+    t = np.arange(sr) / sr
+    sig = ((np.sin(2 * np.pi * 440 * t) * 12000
+            + rng.standard_normal(sr) * 500)).astype(np.int16)
+    dec = np.asarray(windows.mulaw_decode_device(
+        jnp.asarray(windows.mulaw_encode(sig)))) * 32768.0
+    err = dec - sig
+    snr = 10 * np.log10(np.mean(sig.astype(np.float64) ** 2)
+                        / np.mean(err ** 2))
+    assert snr > 30  # 8-bit mu-law: ~35-38 dB on music-like signals
+
+
+def test_mulaw_audio_embedder_matches_raw_path():
+    """mu-law companded ingest must not move embeddings (serving default:
+    ASR_BENCH_MULAW; A/B on the reference checkpoint + recording showed
+    cosine >= 0.9999 and identical top-1/top-5 rankings)."""
+    cfg = get_model_config("mutopia_ccal_cont_rsz", num_filters=4,
+                           dim_latent=8)
+    params = cca_model.init_model(jax.random.PRNGKey(2), cfg)
+    params = params._replace(cca=params.cca._replace(
+        U=jnp.eye(cfg.dim_latent), V=jnp.eye(cfg.dim_latent)))
+    proc = audio.AudioProcessor()
+    sr = proc.sample_rate
+    rng = np.random.default_rng(5)
+    t = np.arange(sr * 3) / sr
+    sig = ((np.sin(2 * np.pi * 330 * t) + np.sin(2 * np.pi * 523 * t))
+           * 6000 + rng.standard_normal(sr * 3) * 300).astype(np.int16)
+    nf = audio.num_frames_for(len(sig), proc.hop_size)
+    spec_w = cfg.input_shape_2[2]
+    starts = jnp.asarray(windows.linspace_starts(nf, spec_w, 8))
+
+    raw = np.asarray(windows.make_audio_embedder(params, cfg, proc)(
+        jnp.asarray(sig), starts, nf))
+    mu = np.asarray(windows.make_audio_embedder_mulaw(params, cfg, proc)(
+        jnp.asarray(windows.mulaw_encode(sig)), starts, nf))
+    cos = np.sum(raw * mu, axis=1)  # embeddings are L2-normalized
+    assert cos.min() > 0.999
