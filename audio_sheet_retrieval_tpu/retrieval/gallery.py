@@ -97,3 +97,67 @@ class DeviceGallery:
         ``_retrieve_*_ids`` contract (audio_sheet_server.py:530-563)."""
         _, idx = self.topk(queries, k)
         return self.ids[idx], idx
+
+
+def make_fused_piece_query(params, cfg, processor, gallery: "DeviceGallery",
+                           n_pieces: int, *, n_candidates: int = 25,
+                           mulaw: bool = True):
+    """Raw audio -> per-piece vote counts, ONE device dispatch.
+
+    Fuses the reference's detect_score pipeline (audio_sheet_server.py:
+    213-253: spectrogram, excerpt embedding, top-n_candidates snippet
+    retrieval, piece-id histogram): DSP + encoder + CCA projection + gallery
+    matmul + top-k + one-hot vote counting run as a single jitted program;
+    the host downloads only an [n_pieces] count vector. With mu-law ingest
+    the whole query uploads one byte per audio sample.
+    """
+    from audio_sheet_retrieval_tpu.models import cca_model
+    from audio_sheet_retrieval_tpu.ops.audio import _spectrogram_core
+    from audio_sheet_retrieval_tpu.ops.windows import (
+        gather_windows,
+        mulaw_decode_device,
+    )
+    from audio_sheet_retrieval_tpu.train.engine import prepare_view2_device
+
+    window = cfg.input_shape_2[2]
+    k = min(n_candidates, gallery.n)
+    # padded piece-id table: padding rows vote into a discarded overflow bin
+    ids_pad = np.full(gallery.gallery_n.shape[0], n_pieces, np.int32)
+    ids_pad[:gallery.n] = gallery.ids
+    ids_pad = jnp.asarray(ids_pad)
+
+    @functools.partial(jax.jit, static_argnames=("num_frames",))
+    def q(p, fb, win_arr, gal_nt, valid, idtab, sig, starts,
+          num_frames: int):
+        if mulaw:
+            s = mulaw_decode_device(sig) * (32768.0 / 32767.0)
+        else:
+            s = sig.astype(jnp.float32) * (1.0 / 32767.0)
+        starts_f = (jnp.arange(num_frames) * processor.hop_size
+                    ).astype(jnp.int32)
+        spec = _spectrogram_core(s, win_arr, fb, starts_f, num_frames,
+                                 processor.frame_size).T
+        wins = gather_windows(spec, starts, window)
+        codes = cca_model.embed_view2(
+            p, prepare_view2_device(wins[:, None, :, :]), cfg)
+        scores = jnp.dot(codes.astype(jnp.float32), gal_nt,
+                         preferred_element_type=jnp.float32)
+        scores = jnp.where(valid[None, :] & ~jnp.isnan(scores), scores,
+                           -jnp.inf)
+        _, idx = jax.lax.top_k(scores, k)
+        pid = idtab[idx]                                         # [Q, k]
+        counts = jnp.sum(pid[..., None] == jnp.arange(n_pieces),
+                         axis=(0, 1))
+        return counts
+
+    params = jax.device_put(params)
+    fb = processor.filterbank
+    win_arr = processor._window
+
+    def query(audio, starts, num_frames: int):
+        """audio: mu-law uint8 (mulaw=True) or int16 samples on host/device;
+        starts: excerpt start frames; -> vote counts [n_pieces] (device)."""
+        return q(params, fb, win_arr, gallery.gallery_nt, gallery.valid,
+                 ids_pad, audio, starts, num_frames)
+
+    return query

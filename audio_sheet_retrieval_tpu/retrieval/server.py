@@ -277,6 +277,60 @@ class AudioSheetServer:
         ret_votes /= ret_votes.sum()
         return ret_result, ret_votes
 
+    def detect_score_from_audio(self, signal: np.ndarray, top_k: int = 1,
+                                n_candidates: int = 1, verbose: bool = False,
+                                n_samples: int = 100):
+        """detect_score from a raw int16 waveform in ONE device dispatch.
+
+        Equivalent to ``proc.process(signal)`` + :meth:`detect_score`, but
+        the spectrogram, excerpt embedding, gallery top-k and vote histogram
+        all run inside one jitted program (gallery.make_fused_piece_query);
+        the upload is mu-law companded (1 byte/sample, PARITY.md item 12)
+        and the download is one [n_pieces] count vector. Tie order matches
+        vote_ranking's reversed-argsort over np.unique ids exactly.
+        """
+        import jax.numpy as jnp
+
+        from audio_sheet_retrieval_tpu.ops.audio import (
+            default_processor,
+            num_frames_for,
+        )
+        from audio_sheet_retrieval_tpu.ops.windows import mulaw_encode
+        from audio_sheet_retrieval_tpu.retrieval.gallery import (
+            make_fused_piece_query,
+        )
+
+        n_pieces = max(self.id_to_piece) + 1
+        key = (id(self._sheet_gallery), n_candidates, n_pieces)
+        if getattr(self, "_fused_query_key", None) != key:
+            proc = default_processor()
+            self._fused_query = make_fused_piece_query(
+                self.embed_network.params, self.embed_network.cfg, proc,
+                self._sheet_gallery, n_pieces, n_candidates=n_candidates,
+                mulaw=True)
+            self._fused_query_proc = proc
+            self._fused_query_key = key
+        proc = self._fused_query_proc
+        signal = np.asarray(signal)
+        if signal.ndim == 2:
+            signal = signal.mean(axis=1).astype(np.int16)
+        nf = num_frames_for(len(signal), proc.hop_size)
+        starts = jnp.asarray(linspace_starts(nf, self.spec_shape[1],
+                                             n_samples))
+        counts = np.asarray(self._fused_query(
+            jnp.asarray(mulaw_encode(signal)), starts, nf))
+        hit = np.flatnonzero(counts > 0)  # np.unique domain (voted pieces)
+        order = hit[np.argsort(counts[hit])[::-1]][:top_k]
+        if verbose:
+            print(col.print_colored("\nRetrieval Ranking:", col.UNDERLINE))
+            for pid in order:
+                print("pid: %03d (%03d): %s" % (pid, counts[pid],
+                                                self.id_to_piece[pid]))
+        ret_result = [self.id_to_piece[int(pid)] for pid in order]
+        ret_votes = counts[order].astype(float)
+        ret_votes /= ret_votes.sum()
+        return ret_result, ret_votes
+
     def detect_performance(self, sheet: np.ndarray, top_k: int = 1,
                            n_candidates: int = 1, verbose: bool = False,
                            n_samples: int = 100):

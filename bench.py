@@ -167,23 +167,28 @@ def main():
     log(f"device-resident sheet ceiling: {ceiling:,.0f} emb/s")
 
     # piece-ID query latency: full detect_score (100 excerpts from raw audio
-    # vs a 100k-snippet gallery, top-25 + vote)
+    # vs a 100k-snippet gallery, top-25 + vote) fused into ONE dispatch
+    # (retrieval.gallery.make_fused_piece_query); download = 1000 counts
+    from audio_sheet_retrieval_tpu.retrieval.gallery import (
+        make_fused_piece_query,
+    )
+
     gal = DeviceGallery(rng.standard_normal((100_000, 32)).astype(np.float32),
                         ids=rng.integers(0, 1000, 100_000))
+    fused_q = make_fused_piece_query(params, cfg, proc, gal, n_pieces=1000,
+                                     n_candidates=25, mulaw=mulaw)
     q_starts = jnp.asarray(win.linspace_starts(n_frames, spec_w, 100))
-    codes = embed_audio(jnp.asarray(audios[0]), q_starts, n_frames)
-    gal.topk(np.asarray(codes), 25)  # compile
+    np.asarray(fused_q(jnp.asarray(audios[0]), q_starts, n_frames))  # compile
     lat = []
     for i in range(30):
         s = time.perf_counter()
-        codes = embed_audio(jnp.asarray(audios[i % n_pieces]), q_starts,
-                            n_frames)
-        ids, _ = gal.topk_ids(np.asarray(codes), 25)
-        np.unique(ids, return_counts=True)
+        counts = np.asarray(fused_q(jnp.asarray(audios[i % n_pieces]),
+                                    q_starts, n_frames))
+        np.argsort(counts)[::-1][:25]
         lat.append(time.perf_counter() - s)
     p50 = float(np.percentile(lat, 50) * 1000)
-    log(f"piece-ID query p50 (raw 60s audio -> vote vs 100k gallery): "
-        f"{p50:.1f} ms")
+    log(f"piece-ID query p50 (raw 60s audio -> vote vs 100k gallery, "
+        f"fused single dispatch): {p50:.1f} ms")
 
     # training throughput: device-resident data path, full rsz model
     train_ups = None

@@ -148,3 +148,30 @@ def test_device_stream_matches_host_stream_votes(setup):
     dev_rank2, _, _ = srv2.run_device_stream(spec[:, :61], top_k=3,
                                              n_candidates=5)
     assert srv2._stream_cache is not None
+
+
+def test_detect_score_from_audio_matches_host_chain(setup):
+    """Fused one-dispatch query (DSP+embed+top-k+vote on device, mu-law
+    ingest) ranks like proc.process(signal) -> detect_score."""
+    from audio_sheet_retrieval_tpu.ops.audio import AudioProcessor
+
+    srv, names, images, specs = setup
+    proc = AudioProcessor()
+    sr = proc.sample_rate
+    rng = np.random.default_rng(9)
+    t = np.arange(sr * 6) / sr
+    sig = ((np.sin(2 * np.pi * 440 * t) + np.sin(2 * np.pi * 660 * t))
+           * 8000 + rng.standard_normal(len(t)) * 400).astype(np.int16)
+
+    spec = proc.process(sig)
+    want_rank, want_votes = srv.detect_score(spec, top_k=4, n_candidates=5)
+    got_rank, got_votes = srv.detect_score_from_audio(sig, top_k=4,
+                                                      n_candidates=5)
+    assert got_rank[0] == want_rank[0]
+    # vote histograms agree up to mu-law quantization jitter
+    np.testing.assert_allclose(got_votes[:len(want_votes)], want_votes,
+                               atol=0.05)
+    # cached program reused on a second query
+    key = srv._fused_query_key
+    srv.detect_score_from_audio(sig, top_k=2, n_candidates=5)
+    assert srv._fused_query_key == key
