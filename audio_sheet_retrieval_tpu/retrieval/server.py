@@ -279,7 +279,8 @@ class AudioSheetServer:
 
     def detect_score_from_audio(self, signal: np.ndarray, top_k: int = 1,
                                 n_candidates: int = 1, verbose: bool = False,
-                                n_samples: int = 100):
+                                n_samples: int = 100,
+                                sample_rate: Optional[int] = None):
         """detect_score from a raw int16 waveform in ONE device dispatch.
 
         Equivalent to ``proc.process(signal)`` + :meth:`detect_score`, but
@@ -314,6 +315,11 @@ class AudioSheetServer:
         signal = np.asarray(signal)
         if signal.ndim == 2:
             signal = signal.mean(axis=1).astype(np.int16)
+        if sample_rate is not None and sample_rate != proc.sample_rate:
+            from audio_sheet_retrieval_tpu.ops.audio import resample
+
+            signal = np.asarray(
+                resample(signal, sample_rate, proc.sample_rate), np.int16)
         nf = num_frames_for(len(signal), proc.hop_size)
         starts = jnp.asarray(linspace_starts(nf, self.spec_shape[1],
                                              n_samples))
