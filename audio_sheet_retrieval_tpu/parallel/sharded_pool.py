@@ -1,0 +1,210 @@
+"""Piece-sharded device dataset: each chip holds 1/D of the corpus.
+
+`data.device_pool.DevicePool(mesh=...)` replicates the dataset arrays on
+every chip and shards only the assembled batches — right for single-host
+multi-chip, but a pod-scale corpus must be *partitioned*. Here pieces are
+assigned to mesh-axis shards (balanced by strip width), each shard's strips/
+spectrograms are stacked into per-device planes sharded on the leading axis,
+and batch assembly runs inside `jax.shard_map`: device d slices windows only
+from ITS local plane and contributes B/D samples of every global batch.
+The assembled batch emerges sharded over the data axis, so the existing
+GSPMD training step (train.engine.make_train_step under a Mesh) consumes it
+unchanged — XLA still derives the gradient allreduce and the cross-chip CCA
+batch statistics.
+
+Semantics note (standard multi-host practice): each device samples from its
+own piece subset, so a global batch is stratified by shard rather than iid
+over the whole corpus; per-shard entity counts are equalized by wrap-around
+padding. The reference has no analog (single-GPU, host batches —
+reference:utils/data_pools.py:127-228).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from audio_sheet_retrieval_tpu.data.device_pool import _make_assemble
+from audio_sheet_retrieval_tpu.data.pools import (
+    NO_AUGMENT,
+    SHEET_CONTEXT,
+    SPEC_CONTEXT,
+    SYSTEM_HEIGHT,
+)
+
+
+def partition_pieces(widths: Sequence[int], n_shards: int) -> List[List[int]]:
+    """Greedy balanced partition of piece indices by strip width."""
+    order = np.argsort(widths)[::-1]
+    groups: List[List[int]] = [[] for _ in range(n_shards)]
+    loads = np.zeros(n_shards)
+    for i in order:
+        g = int(np.argmin(loads))
+        groups[g].append(int(i))
+        loads[g] += widths[i]
+    return groups
+
+
+class ShardedDevicePool:
+    """(strips, specs, entities) partitioned by piece over a mesh axis."""
+
+    def __init__(
+        self,
+        images: Sequence[np.ndarray],
+        specs: Sequence[Sequence[np.ndarray]],
+        o2c_maps: Sequence[Sequence[np.ndarray]],
+        mesh: Mesh,
+        data_axis: str = "data",
+        spec_context: int = SPEC_CONTEXT,
+        sheet_context: int = SHEET_CONTEXT,
+        staff_height: int = SYSTEM_HEIGHT,
+        data_augmentation: Optional[Dict] = None,
+        rng: Optional[np.random.Generator] = None,
+    ):
+        from audio_sheet_retrieval_tpu.data.device_pool import DevicePool
+
+        self.mesh = mesh
+        self.data_axis = data_axis
+        self.rng = rng if rng is not None else np.random.default_rng()
+        D = mesh.shape[data_axis]
+        self.n_shards = D
+        groups = partition_pieces([im.shape[1] for im in images], D)
+        if any(len(g) == 0 for g in groups):
+            raise ValueError(
+                f"{len(images)} pieces cannot fill {D} dataset shards")
+
+        # build each shard's flat arrays with DevicePool's exact margin /
+        # entity-filtering / edge-centering arithmetic (single source of
+        # truth), then stack to common per-device planes
+        shard_pools = []
+        for g in groups:
+            shard_pools.append(DevicePool(
+                [images[i] for i in g],
+                [specs[i] for i in g],
+                [o2c_maps[i] for i in g],
+                spec_context=spec_context, sheet_context=sheet_context,
+                staff_height=staff_height,
+                data_augmentation=data_augmentation, rng=self.rng,
+                shuffle=False, mesh=None))
+        strip_h = max(p.strip_h for p in shard_pools)
+        bins = shard_pools[0].bins
+        w_max = max(np.asarray(p.strip).shape[1] for p in shard_pools)
+        t_max = max(np.asarray(p.spec).shape[1] for p in shard_pools)
+        n_max = max(p.shape[0] for p in shard_pools)
+        self.shape = [sum(p.shape[0] for p in shard_pools)]
+        self.entities_per_shard = n_max
+
+        strips = np.full((D, strip_h, w_max), 255, np.uint8)
+        specs_arr = np.zeros((D, bins, t_max), np.float32)
+        coords = np.zeros((D, n_max), np.int32)
+        onsets = np.zeros((D, n_max), np.int32)
+        for d, p in enumerate(shard_pools):
+            s = np.asarray(p.strip)
+            sp = np.asarray(p.spec)
+            strips[d, :s.shape[0], :s.shape[1]] = s
+            specs_arr[d, :, :sp.shape[1]] = sp
+            # wrap-around padding equalizes per-shard entity counts
+            fill = np.resize(np.arange(p.shape[0]), n_max)
+            coords[d] = p.entity_coords[fill]
+            onsets[d] = p.entity_onsets[fill]
+
+        ax = data_axis
+        self.strip = jax.device_put(
+            strips, NamedSharding(mesh, P(ax, None, None)))
+        self.spec = jax.device_put(
+            specs_arr, NamedSharding(mesh, P(ax, None, None)))
+        self.entity_coords = coords       # host copies drive sampling
+        self.entity_onsets = onsets
+        self._ent_sharding = NamedSharding(mesh, P(None, ax, None))
+        self.strip_h = strip_h
+        self.bins = bins
+        self.data_augmentation = dict(data_augmentation or NO_AUGMENT)
+        self._local_assemble = {
+            train: _make_assemble(self.data_augmentation, sheet_context,
+                                  staff_height, spec_context, strip_h, bins,
+                                  train=train)
+            for train in (True, False)
+        }
+        self._key = jax.random.PRNGKey(int(self.rng.integers(2 ** 31)))
+
+    def next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def epoch_indices(self, n_batches: int, batch_size: int) -> np.ndarray:
+        """[n_batches, D, B/D] per-shard LOCAL entity indices: every device
+        samples its slice of each global batch from its own pieces."""
+        D = self.n_shards
+        if batch_size % D:
+            raise ValueError(f"batch {batch_size} not divisible by {D} shards")
+        return self.rng.integers(
+            0, self.entities_per_shard,
+            size=(n_batches, D, batch_size // D)).astype(np.int32)
+
+    def _gather_entities(self, idx: np.ndarray):
+        """idx [n, D, B/D] local indices -> sharded coord/onset matrices."""
+        d_ix = np.arange(self.n_shards)[None, :, None]
+        coords = self.entity_coords[d_ix, idx]
+        onsets = self.entity_onsets[d_ix, idx]
+        return (jax.device_put(coords, self._ent_sharding),
+                jax.device_put(onsets, self._ent_sharding))
+
+
+def make_sharded_epoch_runner(cfg, optimizer, pool: ShardedDevicePool):
+    """Fused scanned sub-epoch over the piece-sharded dataset.
+
+    Per scan step: shard_map assembles each device's B/D samples from its
+    local dataset plane (distinct fold_in'd PRNG per shard), the outputs
+    re-enter GSPMD sharded on the batch axis, and the standard train step
+    runs — one dispatch per sub-epoch, same contract as
+    device_pool.make_epoch_runner.
+    """
+    from audio_sheet_retrieval_tpu.train.engine import make_train_step
+
+    train_step = make_train_step(cfg, optimizer)
+    assemble = pool._local_assemble[True]
+    mesh, ax = pool.mesh, pool.data_axis
+
+    def local_assemble(strip, spec, coords, onsets, key):
+        # strip [1, H, W] / coords [1, b] on this device; drop the shard dim
+        key = jax.random.fold_in(key, jax.lax.axis_index(ax))
+        x1, x2 = assemble(strip[0], spec[0], coords[0], onsets[0], key)
+        return x1[None], x2[None]
+
+    sharded_assemble = jax.shard_map(
+        local_assemble, mesh=mesh,
+        in_specs=(P(ax, None, None), P(ax, None, None), P(ax, None),
+                  P(ax, None), P()),
+        out_specs=(P(ax, None, None, None, None),
+                   P(ax, None, None, None, None)),
+        check_vma=False)
+
+    @jax.jit
+    def run_epoch(state, strip, spec, coords_mat, onsets_mat, key):
+        def body(carry, inputs):
+            st, k = carry
+            coords, onsets = inputs          # [D, B/D] sharded on D
+            k, sub = jax.random.split(k)
+            x1, x2 = sharded_assemble(strip, spec, coords, onsets, sub)
+            # [D, b, 1, sh, ctx] -> [B, 1, sh, ctx], still sharded on batch
+            x1 = x1.reshape((-1,) + x1.shape[2:])
+            x2 = x2.reshape((-1,) + x2.shape[2:])
+            st, m = train_step(st, x1, x2)
+            return (st, k), (m["loss"], m["corr"])
+
+        (state, _), (losses, corrs) = jax.lax.scan(
+            body, (state, key), (coords_mat, onsets_mat))
+        return state, losses, corrs
+
+    def runner(state, idx: np.ndarray, key=None):
+        """idx: [n_batches, D, B/D] from pool.epoch_indices."""
+        coords, onsets = pool._gather_entities(idx)
+        if key is None:
+            key = pool.next_key()
+        return run_epoch(state, pool.strip, pool.spec, coords, onsets, key)
+
+    return runner
