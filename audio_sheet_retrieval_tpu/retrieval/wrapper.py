@@ -36,9 +36,9 @@ def load_any_checkpoint(path: str, cfg: ModelConfig) -> ModelParams:
         payload = pickle.load(fp, encoding="latin1")
     if isinstance(payload, dict) and payload.get("format") == uio.FORMAT_TAG:
         template = cca_model.init_model(jax.random.PRNGKey(0), cfg)
-        leaves = jax.tree.leaves(payload["tree"])
-        treedef = jax.tree.structure(template)
-        return jax.tree.unflatten(treedef, [jnp.asarray(v) for v in leaves])
+        # uio.load_pytree enforces schema negotiation (version gate +
+        # ordered migrations) — don't consume the raw payload directly
+        return uio.load_pytree(path, like=template)
     if isinstance(payload, list):
         if payload and isinstance(payload[0], (list, tuple)):
             full = [p for p in payload if len(p) == lasagne_import.N_TOTAL]

@@ -19,6 +19,12 @@ import jax.numpy as jnp
 import numpy as np
 
 FORMAT_TAG = "asr-tpu-v1"
+SCHEMA_VERSION = 1
+
+# schema negotiation: older payloads are upgraded in order through these
+# hooks (version n -> n+1 each); newer-than-known versions are refused with
+# an actionable error instead of silently misloading
+_MIGRATIONS: dict[int, Any] = {}
 
 
 def to_numpy_tree(tree: Any) -> Any:
@@ -27,8 +33,8 @@ def to_numpy_tree(tree: Any) -> Any:
 
 def save_pytree(path: str, tree: Any, meta: dict | None = None) -> None:
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    payload = {"format": FORMAT_TAG, "tree": to_numpy_tree(tree),
-               "meta": dict(meta or {})}
+    payload = {"format": FORMAT_TAG, "version": SCHEMA_VERSION,
+               "tree": to_numpy_tree(tree), "meta": dict(meta or {})}
     with open(path, "wb") as fp:
         pickle.dump(payload, fp, protocol=pickle.HIGHEST_PROTOCOL)
 
@@ -38,6 +44,14 @@ def load_pytree(path: str, like: Any = None) -> Any:
         payload = pickle.load(fp)
     if not (isinstance(payload, dict) and payload.get("format") == FORMAT_TAG):
         raise ValueError(f"{path} is not an {FORMAT_TAG} checkpoint")
+    version = int(payload.get("version", 1))  # pre-"version" dumps are v1
+    if version > SCHEMA_VERSION:
+        raise ValueError(
+            f"{path} is schema v{version}, newer than this build's "
+            f"v{SCHEMA_VERSION} — upgrade audio_sheet_retrieval_tpu to load it")
+    while version < SCHEMA_VERSION:
+        payload = _MIGRATIONS[version](payload)
+        version += 1
     tree = payload["tree"]
     if like is not None:
         # restore the container types (NamedTuples etc.) of a template tree
@@ -47,15 +61,31 @@ def load_pytree(path: str, like: Any = None) -> Any:
     return tree
 
 
-def save_pytree_orbax(path: str, tree: Any) -> None:
-    """Durable checkpointing via Orbax (directory-based, async-capable) —
-    the production alternative to the pickle format for long training runs.
+_orbax_ckptr = None
+
+
+def save_pytree_orbax(path: str, tree: Any, wait: bool = True) -> None:
+    """Durable checkpointing via Orbax (directory-based) — the production
+    alternative to the pickle format for long training runs.
+
+    ``wait=False`` returns as soon as the on-device arrays are snapshotted
+    and writes in the background (the next save or `orbax_wait()` joins it),
+    so long runs never stall the train loop on checkpoint IO.
     """
+    global _orbax_ckptr
     import orbax.checkpoint as ocp
 
-    ckptr = ocp.StandardCheckpointer()
-    ckptr.save(os.path.abspath(path), to_numpy_tree(tree), force=True)
-    ckptr.wait_until_finished()
+    if _orbax_ckptr is None:
+        _orbax_ckptr = ocp.StandardCheckpointer()
+    _orbax_ckptr.save(os.path.abspath(path), to_numpy_tree(tree), force=True)
+    if wait:
+        _orbax_ckptr.wait_until_finished()
+
+
+def orbax_wait() -> None:
+    """Join any in-flight async orbax save (no-op when none)."""
+    if _orbax_ckptr is not None:
+        _orbax_ckptr.wait_until_finished()
 
 
 def load_pytree_orbax(path: str, like: Any) -> Any:

@@ -168,3 +168,78 @@ def test_profiler_trace_smoke(tmp_path):
     assert timer.steps_per_sec > 0
     assert os.path.exists(str(tmp_path / "trace"))
     assert profiling.device_memory_stats()
+
+
+def test_checkpoint_schema_negotiation(tmp_path):
+    """Pre-'version' v1 dumps load; newer-schema dumps fail actionably."""
+    import pickle
+
+    import jax
+    import numpy as np
+
+    from audio_sheet_retrieval_tpu.utils import io as uio
+
+    tree = {"w": np.arange(4, dtype=np.float32)}
+    legacy = str(tmp_path / "legacy.pkl")
+    with open(legacy, "wb") as fp:  # exactly what round-1 builds wrote
+        pickle.dump({"format": uio.FORMAT_TAG, "tree": tree, "meta": {}}, fp)
+    back = uio.load_pytree(legacy)
+    np.testing.assert_array_equal(back["w"], tree["w"])
+
+    future = str(tmp_path / "future.pkl")
+    with open(future, "wb") as fp:
+        pickle.dump({"format": uio.FORMAT_TAG,
+                     "version": uio.SCHEMA_VERSION + 1,
+                     "tree": tree, "meta": {}}, fp)
+    with pytest.raises(ValueError, match="upgrade"):
+        uio.load_pytree(future)
+
+    current = str(tmp_path / "now.pkl")
+    uio.save_pytree(current, tree)
+    with open(current, "rb") as fp:
+        payload = pickle.load(fp)
+    assert payload["version"] == uio.SCHEMA_VERSION
+
+
+def test_orbax_async_save_roundtrip(tmp_path):
+    import jax
+    import numpy as np
+
+    from audio_sheet_retrieval_tpu.models import cca_model
+    from audio_sheet_retrieval_tpu.models.configs import get_model_config
+    from audio_sheet_retrieval_tpu.utils import io as uio
+
+    cfg = get_model_config("mutopia_ccal_cont_rsz", num_filters=4,
+                           dim_latent=8)
+    params = cca_model.init_model(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "async_ckpt")
+    uio.save_pytree_orbax(path, params, wait=False)
+    uio.orbax_wait()
+    back = uio.load_pytree_orbax(path, params)
+    a, b = jax.tree.leaves(params), jax.tree.leaves(back)
+    assert all(np.allclose(x, y) for x, y in zip(a, b))
+
+
+def test_wrapper_loader_enforces_schema_gate(tmp_path):
+    """load_any_checkpoint must route native payloads through load_pytree
+    (regression: it used to unpickle directly, skipping the version gate)."""
+    import pickle
+
+    import jax
+
+    from audio_sheet_retrieval_tpu.models import cca_model
+    from audio_sheet_retrieval_tpu.models.configs import get_model_config
+    from audio_sheet_retrieval_tpu.retrieval.wrapper import load_any_checkpoint
+    from audio_sheet_retrieval_tpu.utils import io as uio
+
+    cfg = get_model_config("mutopia_ccal_cont_rsz", num_filters=4,
+                           dim_latent=8)
+    params = cca_model.init_model(jax.random.PRNGKey(0), cfg)
+    p = str(tmp_path / "p.pkl")
+    uio.save_pytree(p, params)
+    import pickle as pk
+    d = pk.load(open(p, "rb"))
+    d["version"] = uio.SCHEMA_VERSION + 1
+    pk.dump(d, open(p, "wb"))
+    with pytest.raises(ValueError, match="upgrade"):
+        load_any_checkpoint(p, cfg)
