@@ -208,3 +208,92 @@ def make_sharded_epoch_runner(cfg, optimizer, pool: ShardedDevicePool):
         return run_epoch(state, pool.strip, pool.spec, coords, onsets, key)
 
     return runner
+
+
+def make_sharded_embed_runner(cfg, pool: ShardedDevicePool):
+    """Fused evaluation over the piece-sharded dataset: ONE dispatch embeds
+    n batches (deterministic assembly) — the sharded counterpart of
+    device_pool.make_embed_runner, same return contract."""
+    from audio_sheet_retrieval_tpu.models import cca_model
+    from audio_sheet_retrieval_tpu.ops import losses as loss_ops
+    from audio_sheet_retrieval_tpu.train.engine import (
+        prepare_view1_device,
+        prepare_view2_device,
+    )
+
+    assemble = pool._local_assemble[False]
+    mesh, ax = pool.mesh, pool.data_axis
+    loss_weight = 1.0 - cfg.weight_tno
+
+    def local_assemble(strip, spec, coords, onsets, key):
+        key = jax.random.fold_in(key, jax.lax.axis_index(ax))
+        x1, x2 = assemble(strip[0], spec[0], coords[0], onsets[0], key)
+        return x1[None], x2[None]
+
+    sharded_assemble = jax.shard_map(
+        local_assemble, mesh=mesh,
+        in_specs=(P(ax, None, None), P(ax, None, None), P(ax, None),
+                  P(ax, None), P()),
+        out_specs=(P(ax, None, None, None, None),
+                   P(ax, None, None, None, None)),
+        check_vma=False)
+
+    @jax.jit
+    def run(params, strip, spec, coords_mat, onsets_mat, key):
+        def body(k, inputs):
+            coords, onsets = inputs
+            k, sub = jax.random.split(k)
+            x1, x2 = sharded_assemble(strip, spec, coords, onsets, sub)
+            x1 = x1.reshape((-1,) + x1.shape[2:])
+            x2 = x2.reshape((-1,) + x2.shape[2:])
+            lv1 = cca_model.embed_view1(
+                params, prepare_view1_device(x1, cfg), cfg)
+            lv2 = cca_model.embed_view2(params, prepare_view2_device(x2), cfg)
+            loss = loss_ops.contrastive_cos_loss(
+                lv1, lv2, weight=loss_weight, gamma=cfg.gamma)
+            return k, (lv1, lv2, loss)
+
+        _, (lv1s, lv2s, losses) = jax.lax.scan(
+            body, key, (coords_mat, onsets_mat))
+        d = lv1s.shape[-1]
+        return lv1s.reshape(-1, d), lv2s.reshape(-1, d), losses
+
+    def runner(params, idx: np.ndarray):
+        """idx: [n, D, B/D] local indices (pool.epoch_indices)."""
+        coords, onsets = pool._gather_entities(idx)
+        return run(params, pool.strip, pool.spec, coords, onsets,
+                   pool.next_key())
+
+    return runner
+
+
+class ShardedBatchIterator:
+    """engine.fit-compatible iterator over a ShardedDevicePool: every
+    sub-epoch samples each device's batch share uniformly from its own
+    piece group (per-shard stratified sampling — the multi-host analog of
+    the reference's shuffled epoch order)."""
+
+    def __init__(self, batch_size: int, k_samples: Optional[int] = None,
+                 shuffle: bool = True, train: bool = True):
+        self.batch_size = batch_size
+        self.k_samples = k_samples
+        self.shuffle = shuffle
+        self.train = train
+        self.epoch_counter = 0
+
+    def __call__(self, pool: ShardedDevicePool):
+        self.pool = pool
+        if self.k_samples is None or self.k_samples > pool.shape[0]:
+            self.k_samples = pool.shape[0]
+        self.n_batches = max(1, self.k_samples // self.batch_size)
+        return self
+
+    def epoch_entity_indices(self) -> np.ndarray:
+        self.epoch_counter += 1
+        return self.pool.epoch_indices(self.n_batches, self.batch_size)
+
+    def __iter__(self):
+        raise TypeError(
+            "ShardedDevicePool has no host batch loop — pass the pool's "
+            "mesh to engine.fit(..., mesh=pool.mesh) so the fused "
+            "shard_map epoch runner is used")

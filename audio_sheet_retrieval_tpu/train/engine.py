@@ -249,20 +249,26 @@ def fit(
     fused_eval = None
     # fused evaluation runners (single-dispatch embed+score) when the pools
     # are device-resident and no mesh resharding is involved
-    embed_runner_tr = embed_runner_va = None
     from audio_sheet_retrieval_tpu.data.device_pool import (
         DevicePool,
         make_embed_runner,
     )
+    from audio_sheet_retrieval_tpu.parallel.sharded_pool import (
+        ShardedDevicePool,
+        make_sharded_embed_runner,
+    )
 
-    if (isinstance(data["train"], DevicePool)
-            and data["train"].mesh is mesh
-            and hasattr(train_batch_iter, "epoch_entity_indices")):
-        embed_runner_tr = make_embed_runner(cfg, data["train"])
-    if (isinstance(data.get("valid"), DevicePool)
-            and data["valid"].mesh is mesh
-            and hasattr(valid_batch_iter, "epoch_entity_indices")):
-        embed_runner_va = make_embed_runner(cfg, data["valid"])
+    def _embed_builder(pool, it):
+        if not hasattr(it, "epoch_entity_indices"):
+            return None
+        if isinstance(pool, ShardedDevicePool) and pool.mesh is mesh:
+            return make_sharded_embed_runner(cfg, pool)
+        if isinstance(pool, DevicePool) and pool.mesh is mesh:
+            return make_embed_runner(cfg, pool)
+        return None
+
+    embed_runner_tr = _embed_builder(data["train"], train_batch_iter)
+    embed_runner_va = _embed_builder(data.get("valid"), valid_batch_iter)
     now = time.time()
     try:
         while epoch_idx < num_epochs:
@@ -279,9 +285,15 @@ def fit(
                     from audio_sheet_retrieval_tpu.data.device_pool import (
                         make_epoch_runner,
                     )
+                    from audio_sheet_retrieval_tpu.parallel.sharded_pool import (
+                        ShardedDevicePool,
+                        make_sharded_epoch_runner,
+                    )
 
-                    epoch_runner = make_epoch_runner(cfg, optimizer,
-                                                     iterator.pool)
+                    build = (make_sharded_epoch_runner
+                             if isinstance(iterator.pool, ShardedDevicePool)
+                             else make_epoch_runner)
+                    epoch_runner = build(cfg, optimizer, iterator.pool)
                 entity_idx = iterator.epoch_entity_indices()
                 state, losses_dev, corrs_dev = epoch_runner(state, entity_idx)
                 batch_losses = list(np.asarray(losses_dev))
@@ -311,8 +323,11 @@ def fit(
                 bs = train_batch_iter.batch_size
                 nb = int(np.ceil(n_valid_cca / bs))
                 pool_tr = data["train"]
-                idx = np.arange(nb * bs) % pool_tr.shape[0]
-                entity_idx = pool_tr._order[idx.reshape(nb, bs)]
+                if hasattr(pool_tr, "epoch_indices"):  # piece-sharded pool
+                    entity_idx = pool_tr.epoch_indices(nb, bs)
+                else:
+                    idx = np.arange(nb * bs) % pool_tr.shape[0]
+                    entity_idx = pool_tr._order[idx.reshape(nb, bs)]
                 lv1_tr_d, lv2_tr_d, _ = embed_runner_tr(params_now,
                                                         entity_idx)
                 va_it = valid_batch_iter(data["valid"])

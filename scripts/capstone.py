@@ -1,0 +1,135 @@
+"""MSMD-scale capstone: full training schedule + reference eval protocol
+on the synthetic corpus (200 pieces x 3 performances, ~108k entities).
+
+Reproduces the RESULTS.md capstone and serves as the accuracy A/B harness
+for compute-dtype / whitening choices (ROADMAP #8):
+
+    python scripts/capstone.py --compute_dtype bfloat16
+    python scripts/capstone.py --compute_dtype float32
+
+Prints one JSON line with val MRR and held-out snippet-retrieval metrics
+(S2A / A2S, with and without the 25k-sample CCA refinement), mirroring the
+reference protocol (train_dcca_pool.py eval + refine_cca.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--compute_dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--whitening", default="polar", choices=["polar", "eigh"])
+    p.add_argument("--n_train_pieces", type=int, default=200)
+    p.add_argument("--n_eval_pieces", type=int, default=20)
+    p.add_argument("--max_epochs", type=int, default=40)
+    p.add_argument("--n_test", type=int, default=2000)
+    p.add_argument("--seed", type=int, default=23)
+    args = p.parse_args(argv)
+
+    import dataclasses
+
+    import jax
+
+    from audio_sheet_retrieval_tpu.data import device_pool as dpool
+    from audio_sheet_retrieval_tpu.data import pools, synthetic
+    from audio_sheet_retrieval_tpu.models import cca_model
+    from audio_sheet_retrieval_tpu.models.configs import get_model_config
+    from audio_sheet_retrieval_tpu.ops import cca as cca_ops
+    from audio_sheet_retrieval_tpu.ops.metrics import eval_retrieval
+    from audio_sheet_retrieval_tpu.train import engine
+    from audio_sheet_retrieval_tpu.utils.profiling import enable_compile_cache
+
+    enable_compile_cache()
+    cfg = get_model_config("mutopia_ccal_cont_rsz")
+    cfg = dataclasses.replace(cfg, compute_dtype=args.compute_dtype,
+                              whitening=args.whitening,
+                              max_epochs=args.max_epochs)
+
+    t0 = time.time()
+    tr = synthetic.make_piece_list(args.seed, args.n_train_pieces,
+                                   n_performances=3, n_onsets=200)
+    va = synthetic.make_piece_list(args.seed + 1, args.n_eval_pieces,
+                                   n_onsets=200)
+    te = synthetic.make_piece_list(args.seed + 2, args.n_eval_pieces,
+                                   n_performances=1, n_onsets=200)
+    data = {
+        "train": dpool.DevicePool(*tr, data_augmentation=pools.FULL_AUGMENT,
+                                  rng=np.random.default_rng(args.seed)),
+        "valid": dpool.DevicePool(*va, data_augmentation=pools.NO_AUGMENT,
+                                  shuffle=False,
+                                  rng=np.random.default_rng(args.seed + 1)),
+    }
+    n_entities = data["train"].shape[0]
+    print(f"corpus: {n_entities} train entities "
+          f"({time.time() - t0:.0f}s build)", file=sys.stderr)
+
+    params = cca_model.init_model(jax.random.PRNGKey(args.seed), cfg)
+    tr_it = dpool.DeviceBatchIterator(batch_size=cfg.batch_size,
+                                      k_samples=cfg.k_samples)
+    va_it = dpool.DeviceBatchIterator(batch_size=cfg.batch_size,
+                                      shuffle=False, train=False)
+    import tempfile
+
+    t0 = time.time()
+    best, best_map = engine.fit(params, data, cfg, tr_it, va_it,
+                                out_path=tempfile.mkdtemp(prefix="capstone_"),
+                                verbose=False)
+    train_secs = time.time() - t0
+    print(f"trained in {train_secs:.0f}s, best val MRR {best_map:.3f}",
+          file=sys.stderr)
+
+    # held-out snippet retrieval (reference protocol: n_test samples,
+    # both directions, then the 25k large-batch CCA refinement)
+    test_pool = dpool.DevicePool(*te, data_augmentation=pools.NO_AUGMENT,
+                                 shuffle=False,
+                                 rng=np.random.default_rng(args.seed + 2))
+    emb = dpool.make_embed_runner(cfg, test_pool)
+    n_test = min(args.n_test, test_pool.shape[0])
+    bs = cfg.batch_size
+    nb = int(np.ceil(n_test / bs))
+    idx = (np.arange(nb * bs) % test_pool.shape[0]).reshape(nb, bs)
+    lv1, lv2, _ = emb(best, test_pool._order[idx])
+    lv1 = np.asarray(lv1)[:n_test]
+    lv2 = np.asarray(lv2)[:n_test]
+
+    def metrics(a, b):
+        _, med, _, hits, mrr = eval_retrieval(a, b)
+        return {"R@1": hits[1] / len(a), "R@25": hits[25] / len(a),
+                "MRR": mrr, "med_rank": med}
+
+    out = {
+        "dtype": args.compute_dtype, "whitening": args.whitening,
+        "entities": int(n_entities), "train_secs": round(train_secs, 1),
+        "val_mrr": round(float(best_map), 4),
+        "s2a": metrics(lv1, lv2), "a2s": metrics(lv2, lv1),
+    }
+
+    # 25k-sample CCA refinement on train embeddings (refine_cca.py protocol)
+    emb_tr = dpool.make_embed_runner(cfg, data["train"])
+    n_ref = min(25000, data["train"].shape[0])
+    nb = int(np.ceil(n_ref / bs))
+    idx = (np.arange(nb * bs) % data["train"].shape[0]).reshape(nb, bs)
+    h1, h2, _ = emb_tr(best, data["train"]._order[idx])
+    res = cca_ops.cca_fit(np.asarray(h1)[:n_ref], np.asarray(h2)[:n_ref],
+                          method="svd")
+    r1 = np.asarray(cca_ops.cca_transform_v1(res, lv1))
+    r2 = np.asarray(cca_ops.cca_transform_v2(res, lv2))
+    out["s2a_refined"] = metrics(r1, r2)
+    out["a2s_refined"] = metrics(r2, r1)
+    print(json.dumps(out))
+    return out
+
+
+if __name__ == "__main__":
+    main()

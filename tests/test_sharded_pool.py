@@ -103,3 +103,36 @@ def test_too_many_shards_raises(mesh8):
     with pytest.raises(ValueError, match="cannot fill"):
         spool.ShardedDevicePool(*tr, mesh=mesh8,
                                 data_augmentation=pools.NO_AUGMENT)
+
+
+def test_fit_over_sharded_dataset(mesh8, tmp_path):
+    """engine.fit end-to-end with the TRAIN corpus partitioned by piece
+    (ShardedDevicePool + ShardedBatchIterator) and a mesh-sharded valid
+    DevicePool: fused epochs + fully on-device evaluation."""
+    from audio_sheet_retrieval_tpu.data import device_pool as dpool
+    from audio_sheet_retrieval_tpu.train import engine
+
+    cfg = get_model_config("mutopia_ccal_cont_rsz", num_filters=4,
+                           dim_latent=8, batch_size=16, k_samples=64,
+                           patience=1, refinement_steps=0, max_epochs=2)
+    tr = synthetic.make_piece_list(7, 8, n_onsets=50)
+    va = synthetic.make_piece_list(8, 2, n_onsets=50)
+    data = {
+        "train": spool.ShardedDevicePool(
+            *tr, mesh=mesh8, data_augmentation=pools.FULL_AUGMENT,
+            rng=np.random.default_rng(0)),
+        "valid": dpool.DevicePool(
+            *va, data_augmentation=pools.NO_AUGMENT, shuffle=False,
+            rng=np.random.default_rng(1), mesh=mesh8),
+    }
+    params = cca_model.init_model(jax.random.PRNGKey(0), cfg)
+    tr_it = spool.ShardedBatchIterator(batch_size=16, k_samples=64)
+    va_it = dpool.DeviceBatchIterator(batch_size=16, shuffle=False,
+                                      train=False)
+    epochs = []
+    best, best_map = engine.fit(params, data, cfg, tr_it, va_it,
+                                out_path=str(tmp_path), verbose=False,
+                                on_epoch=epochs.append, mesh=mesh8)
+    assert len(epochs) == 2
+    assert np.isfinite(epochs[-1]["train_loss"])
+    assert np.isfinite(best_map)
