@@ -161,3 +161,54 @@ def make_fused_piece_query(params, cfg, processor, gallery: "DeviceGallery",
                  ids_pad, audio, starts, num_frames)
 
     return query
+
+
+def make_fused_sheet_query(params, cfg, gallery: "DeviceGallery",
+                           n_pieces: int, *, n_candidates: int = 25,
+                           pack4: bool = True):
+    """Unrolled sheet strip -> per-performance vote counts, ONE dispatch.
+
+    The sheet->audio mirror of make_fused_piece_query (reference
+    detect_performance, audio_sheet_server.py:255-300): 4-bit-packed strip
+    upload, on-device unpack + window slicing + view-1 embedding + audio
+    gallery top-k + vote histogram in a single jitted program.
+    """
+    from audio_sheet_retrieval_tpu.models import cca_model
+    from audio_sheet_retrieval_tpu.ops.windows import (
+        gather_windows,
+        unpack_strip_4bit,
+    )
+    from audio_sheet_retrieval_tpu.train.engine import prepare_view1_device
+
+    h, window = cfg.input_shape_1[1], cfg.input_shape_1[2]
+    k = min(n_candidates, gallery.n)
+    ids_pad = np.full(gallery.gallery_n.shape[0], n_pieces, np.int32)
+    ids_pad[:gallery.n] = gallery.ids
+    ids_pad = jnp.asarray(ids_pad)
+
+    @jax.jit
+    def q(p, gal_nt, valid, idtab, strip, starts):
+        if pack4:
+            strip = unpack_strip_4bit(strip)
+        r0 = strip.shape[0] // 2 - h // 2
+        strip = jax.lax.dynamic_slice_in_dim(strip, r0, h, axis=0)
+        wins = gather_windows(strip.astype(jnp.float32), starts, window)
+        codes = cca_model.embed_view1(
+            p, prepare_view1_device(wins[:, None, :, :], cfg), cfg)
+        scores = jnp.dot(codes.astype(jnp.float32), gal_nt,
+                         preferred_element_type=jnp.float32)
+        scores = jnp.where(valid[None, :] & ~jnp.isnan(scores), scores,
+                           -jnp.inf)
+        _, idx = jax.lax.top_k(scores, k)
+        pid = idtab[idx]
+        return jnp.sum(pid[..., None] == jnp.arange(n_pieces), axis=(0, 1))
+
+    params = jax.device_put(params)
+
+    def query(strip, starts):
+        """strip: [H, W/2] packed uint8 (pack4) or [H, W] uint8;
+        starts: snippet start columns (in UNPACKED pixels)."""
+        return q(params, gallery.gallery_nt, gallery.valid, ids_pad,
+                 strip, starts)
+
+    return query

@@ -361,6 +361,47 @@ class AudioSheetServer:
         ret_votes /= ret_votes.sum()
         return ret_result, ret_votes
 
+    def detect_performance_from_sheet(self, sheet: np.ndarray,
+                                      top_k: int = 1, n_candidates: int = 1,
+                                      verbose: bool = False,
+                                      n_samples: int = 100):
+        """detect_performance in ONE device dispatch: the strip uploads
+        4-bit packed (PARITY.md item 11), and unpack + windowing + view-1
+        embedding + audio-gallery top-k + vote histogram run as a single
+        jitted program (gallery.make_fused_sheet_query); the download is
+        one [n_performances] count vector."""
+        import jax.numpy as jnp
+
+        from audio_sheet_retrieval_tpu.ops.windows import pack_strip_4bit
+        from audio_sheet_retrieval_tpu.retrieval.gallery import (
+            make_fused_sheet_query,
+        )
+
+        n_perf = max(self.id_to_perform) + 1
+        key = (id(self._audio_gallery), n_candidates, n_perf)
+        if getattr(self, "_fused_sheet_query_key", None) != key:
+            self._fused_sheet_query = make_fused_sheet_query(
+                self.embed_network.params, self.embed_network.cfg,
+                self._audio_gallery, n_perf, n_candidates=n_candidates,
+                pack4=True)
+            self._fused_sheet_query_key = key
+        strip = np.asarray(sheet)
+        starts = jnp.asarray(linspace_starts(strip.shape[1],
+                                             self.sheet_shape[1], n_samples))
+        counts = np.asarray(self._fused_sheet_query(
+            jnp.asarray(pack_strip_4bit(strip.astype(np.uint8))), starts))
+        hit = np.flatnonzero(counts > 0)  # np.unique domain (voted pieces)
+        order = hit[np.argsort(counts[hit])[::-1]][:top_k]
+        if verbose:
+            print(col.print_colored("\nRetrieval Ranking:", col.UNDERLINE))
+            for pid in order:
+                print("pid: %03d (%03d): %s" % (pid, counts[pid],
+                                                self.id_to_perform[pid]))
+        ret_result = [self.id_to_perform[int(pid)] for pid in order]
+        ret_votes = counts[order].astype(float)
+        ret_votes /= ret_votes.sum()
+        return ret_result, ret_votes
+
     # -- streaming ------------------------------------------------------------------
 
     @staticmethod

@@ -175,3 +175,27 @@ def test_detect_score_from_audio_matches_host_chain(setup):
     key = srv._fused_query_key
     srv.detect_score_from_audio(sig, top_k=2, n_candidates=5)
     assert srv._fused_query_key == key
+
+
+def test_detect_performance_from_sheet_matches_host_chain(setup):
+    """Fused one-dispatch sheet query (4-bit upload, device windows+embed+
+    top-k+vote) ranks like the host detect_performance chain."""
+    srv, names, images, specs = setup
+    srv2 = AudioSheetServer()
+    srv2.initialize_embedding_network(srv.embed_network)
+    srv2.initialize_sheet_db_from_imges(names, images)
+    srv2.perform_excerpt_codes = srv2.sheet_snippet_codes
+    srv2.perform_excerpt_ids = srv2.sheet_snippet_ids
+    srv2.id_to_perform = dict(srv2.id_to_piece)
+    srv2._refresh_audio_gallery()
+
+    want_rank, want_votes = srv2.detect_performance(images[1], top_k=4,
+                                                    n_candidates=5)
+    got_rank, got_votes = srv2.detect_performance_from_sheet(
+        images[1], top_k=4, n_candidates=5)
+    assert got_rank[0] == want_rank[0]
+    np.testing.assert_allclose(got_votes[:len(want_votes)], want_votes,
+                               atol=0.06)  # 4-bit quantization jitter
+    key = srv2._fused_sheet_query_key
+    srv2.detect_performance_from_sheet(images[2], top_k=2, n_candidates=5)
+    assert srv2._fused_sheet_query_key == key
