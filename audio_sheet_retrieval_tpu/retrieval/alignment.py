@@ -33,7 +33,7 @@ def align_baseline(dists: np.ndarray) -> np.ndarray:
 def align_pydtw(dists: np.ndarray) -> np.ndarray:
     """DTW alignment with the reference's first-hit path fix
     (alignment.py:119-140)."""
-    _, _, _, path = dtw_by_dist(dists)
+    _, _, _, path = dtw_by_dist(dists, return_acc=False)
     align_sheet_idxs = []
     for i in range(dists.shape[1]):
         sheet_idx = np.nonzero(path[0] == i)[0][0]

@@ -131,3 +131,22 @@ def test_fastdtw_from_sequences():
     # identical sequences align on the diagonal with ~zero cost
     d2, _, _, p2 = dtw.fastdtw(x, x.copy(), dist="cosine", use_device=False)
     assert d2 < 1e-5
+
+
+def test_device_traceback_matches_host_exactly():
+    """Device traceback (scalar-read scan over the diagonal layout) must
+    reproduce the host path bit-for-bit, including argmin tie order —
+    quantized costs force plenty of exact ties."""
+    from audio_sheet_retrieval_tpu.ops import dtw
+
+    rng = np.random.default_rng(3)
+    for shape in [(90, 70), (64, 128), (70, 65)]:  # all >= device cutoff
+        # low-cardinality costs -> many exact ties in the DP
+        dist = (rng.integers(0, 4, shape) / 4.0).astype(np.float32)
+        nd_d, _, acc_d, p_d = dtw.dtw_by_dist(dist, use_device=True,
+                                              return_acc=False)
+        nd_h, _, acc_h, p_h = dtw.dtw_by_dist(dist, use_device=False)
+        assert acc_d is None and acc_h is not None
+        np.testing.assert_array_equal(p_d[0], p_h[0])
+        np.testing.assert_array_equal(p_d[1], p_h[1])
+        np.testing.assert_allclose(nd_d, nd_h, atol=1e-5)
