@@ -271,7 +271,13 @@ class ShardedBatchIterator:
     """engine.fit-compatible iterator over a ShardedDevicePool: every
     sub-epoch samples each device's batch share uniformly from its own
     piece group (per-shard stratified sampling — the multi-host analog of
-    the reference's shuffled epoch order)."""
+    the reference's shuffled epoch order).
+
+    Use this for the TRAIN pool; keep the validation pool a (replicated)
+    DevicePool + DeviceBatchIterator so per-epoch validation covers the
+    same fixed entity set every epoch — a sharded valid iterator would
+    re-sample a different random subset per epoch and add early-stopping
+    noise."""
 
     def __init__(self, batch_size: int, k_samples: Optional[int] = None,
                  shuffle: bool = True, train: bool = True):
