@@ -47,19 +47,11 @@ def make_strip_embedder(params, cfg, *, center_crop: int | None = None):
     weight arrays would be inlined as HLO constants, bloating the program
     and degrading every subsequent dispatch on tunneled backends.
     """
-    from audio_sheet_retrieval_tpu.models import cca_model
-    from audio_sheet_retrieval_tpu.train.engine import prepare_view1_device
-
     crop_h = center_crop or cfg.input_shape_1[1]
-    window = cfg.input_shape_1[2]
 
     @jax.jit
     def embed_p(p, strip_u8: jnp.ndarray, starts: jnp.ndarray):
-        r0 = strip_u8.shape[0] // 2 - crop_h // 2
-        strip = jax.lax.dynamic_slice_in_dim(strip_u8, r0, crop_h, axis=0)
-        wins = gather_windows(strip.astype(jnp.float32), starts, window)
-        x = prepare_view1_device(wins[:, None, :, :], cfg)
-        return cca_model.embed_view1(p, x, cfg)
+        return _strip_embed_core(p, strip_u8, starts, cfg, False, crop_h)
 
     params = jax.device_put(params)
 
@@ -67,6 +59,23 @@ def make_strip_embedder(params, cfg, *, center_crop: int | None = None):
         return embed_p(params, strip_u8, starts)
 
     return embed
+
+
+def _strip_embed_core(p, strip, starts, cfg, packed: bool, crop_h: int):
+    """Traceable strip-embedding core (optionally 4-bit packed input):
+    vertical center crop, window gather, 'prepare', encoder+CCA+L2.
+    Compose inside larger jits (the embedders below, bench ceiling scans)."""
+    from audio_sheet_retrieval_tpu.models import cca_model
+    from audio_sheet_retrieval_tpu.train.engine import prepare_view1_device
+
+    if packed:
+        strip = unpack_strip_4bit(strip)
+    window = cfg.input_shape_1[2]
+    r0 = strip.shape[0] // 2 - crop_h // 2
+    strip = jax.lax.dynamic_slice_in_dim(strip, r0, crop_h, axis=0)
+    wins = gather_windows(strip.astype(jnp.float32), starts, window)
+    x = prepare_view1_device(wins[:, None, :, :], cfg)
+    return cca_model.embed_view1(p, x, cfg)
 
 
 def pack_strip_4bit(strip_u8: np.ndarray) -> np.ndarray:
@@ -95,20 +104,11 @@ def unpack_strip_4bit(packed: jnp.ndarray) -> jnp.ndarray:
 def make_strip_embedder_packed(params, cfg, *, center_crop: int | None = None):
     """4-bit-packed variant of make_strip_embedder: the host uploads the
     packed strip (half the bytes); unpacking fuses into the same program."""
-    from audio_sheet_retrieval_tpu.models import cca_model
-    from audio_sheet_retrieval_tpu.train.engine import prepare_view1_device
-
     crop_h = center_crop or cfg.input_shape_1[1]
-    window = cfg.input_shape_1[2]
 
     @jax.jit
     def embed_p(p, packed: jnp.ndarray, starts: jnp.ndarray):
-        strip_u8 = unpack_strip_4bit(packed)
-        r0 = strip_u8.shape[0] // 2 - crop_h // 2
-        strip = jax.lax.dynamic_slice_in_dim(strip_u8, r0, crop_h, axis=0)
-        wins = gather_windows(strip.astype(jnp.float32), starts, window)
-        x = prepare_view1_device(wins[:, None, :, :], cfg)
-        return cca_model.embed_view1(p, x, cfg)
+        return _strip_embed_core(p, packed, starts, cfg, True, crop_h)
 
     params = jax.device_put(params)
 

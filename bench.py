@@ -158,12 +158,28 @@ def main():
     log(f"end-to-end: {total_emb} embeddings in {dt:.2f}s (best of "
         f"{repeats}) -> {total_eps:,.0f} emb/s ({mbps:.0f} MB/s raw ingest)")
 
-    # device-resident compute ceiling (batch already in HBM)
+    # device-resident compute ceiling (batch already in HBM): scan the
+    # whole measurement inside ONE dispatch — per-call timing here is
+    # dominated by the tunnel's degraded dispatch latency (~26 ms/call
+    # after any download) and under-reports the chip by ~25x
     strip_dev = jax.device_put(strips[0])
+    n_reps = 50
+
+    @jax.jit
+    def ceiling_scan(p, strip, starts):
+        # vary the windows per iteration: a loop-invariant body would be
+        # hoisted out of the scan by XLA and measure a single execution
+        def body(c, i):
+            r = win._strip_embed_core(p, strip, starts + i % 8, cfg,
+                                      pack4, 160)
+            return c + r.sum(), 0
+        return jax.lax.scan(body, 0.0, jnp.arange(n_reps))[0]
+
+    params_dev = jax.device_put(params)
+    float(ceiling_scan(params_dev, strip_dev, sheet_starts_d))
     t0 = time.perf_counter()
-    rs = [embed_strip(strip_dev, sheet_starts_d) for _ in range(10)]
-    float(checksum(rs))  # forced sync
-    ceiling = 10 * len(sheet_starts) / (time.perf_counter() - t0)
+    float(ceiling_scan(params_dev, strip_dev, sheet_starts_d))
+    ceiling = n_reps * len(sheet_starts) / (time.perf_counter() - t0)
     log(f"device-resident sheet ceiling: {ceiling:,.0f} emb/s")
 
     # piece-ID query latency: full detect_score (100 excerpts from raw audio
