@@ -57,16 +57,17 @@ def main(argv=None):
 
     enable_compile_cache()
     parser = argparse.ArgumentParser(description="Embedding tutorial pipeline.")
-    parser.add_argument("--sheet", default="/root/reference/tutorials/sheet_image.png")
+    from audio_sheet_retrieval_tpu import assets
+
+    parser.add_argument("--sheet", default=assets.tutorial_sheet_path())
     parser.add_argument("--audio", default=None,
-                        help=".wav/.flac/.mp3 file (default: the reference "
+                        help=".wav/.flac/.mp3 file (default: the vendored "
                              "tutorial audio.mp3 if present)")
     parser.add_argument("--synth_audio", action="store_true",
                         help="use a synthesized chord instead of a file")
     parser.add_argument("--param_file",
-                        default="/root/reference/tutorials/params_all_split_mutopia_full_aug.pkl")
-    parser.add_argument("--omr_models",
-                        default="/root/reference/audio_sheet_retrieval/sheet_utils/omr_models")
+                        default=assets.tutorial_checkpoint_path())
+    parser.add_argument("--omr_models", default=assets.assets_dir())
     parser.add_argument("--model", default="mutopia_ccal_cont_rsz")
     parser.add_argument("--n_samples", type=int, default=100)
     parser.add_argument("--a2a", action="store_true",
@@ -95,9 +96,8 @@ def main(argv=None):
     # ---- audio side ----------------------------------------------------------
     proc = default_processor()
     if args.audio is None and not args.synth_audio:
-        ref_mp3 = "/root/reference/tutorials/audio.mp3"
-        if os.path.exists(ref_mp3):
-            args.audio = ref_mp3
+        if os.path.exists(assets.tutorial_audio_path()):
+            args.audio = assets.tutorial_audio_path()
     if args.synth_audio or args.audio is None:
         print("Synthesizing test audio...")
         sr = proc.sample_rate
@@ -138,10 +138,12 @@ def main(argv=None):
     # ---- sheet side ----------------------------------------------------------
     sheet_image = resize_page(cv2.imread(args.sheet, 0))
     prep = prepare_image(sheet_image)
+    from audio_sheet_retrieval_tpu.retrieval.umc import resolve_omr_weights
+
     sysnet = SegmentationNetwork.load(
-        os.path.join(args.omr_models, "system_params.pkl"))
+        resolve_omr_weights(args.omr_models, "system"))
     barnet = SegmentationNetwork.load(
-        os.path.join(args.omr_models, "bar_params.pkl"))
+        resolve_omr_weights(args.omr_models, "bar"))
     omr = OpticalMusicRecognizer(system_detector=sysnet, bar_detector=barnet)
     page_systems = omr.detect_systems(prep)
     print("detected systems:", len(page_systems))

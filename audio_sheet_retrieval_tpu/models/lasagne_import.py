@@ -42,7 +42,13 @@ N_TOTAL = 2 * ARRAYS_PER_VIEW + N_CCA_ARRAYS  # 97
 
 
 def load_lasagne_pickle(path: str) -> List[np.ndarray]:
-    """Load a py2 lasagne parameter pickle (latin1 for numpy py2 pickles)."""
+    """Load a py2 lasagne parameter pickle (latin1 for numpy py2 pickles),
+    or the repo's raw-array .npz asset form of the same checkpoint."""
+    if path.endswith(".npz"):
+        from audio_sheet_retrieval_tpu import assets
+
+        return [np.asarray(a, dtype=np.float32)
+                for a in assets.load_raw_arrays(path)]
     with open(path, "rb") as fp:
         params = pickle.load(fp, encoding="latin1")
     if params and isinstance(params[0], (list, tuple)):

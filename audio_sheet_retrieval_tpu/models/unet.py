@@ -145,6 +145,11 @@ def import_unet_params(arrays: List[np.ndarray],
 
 def load_unet_checkpoint(path: str,
                          flip_conv_filters: bool = True) -> Dict[str, Any]:
-    with open(path, "rb") as fp:
-        arrays = pickle.load(fp, encoding="latin1")
+    if path.endswith(".npz"):
+        from audio_sheet_retrieval_tpu import assets
+
+        arrays = assets.load_raw_arrays(path)
+    else:
+        with open(path, "rb") as fp:
+            arrays = pickle.load(fp, encoding="latin1")
     return import_unet_params(arrays, flip_conv_filters)

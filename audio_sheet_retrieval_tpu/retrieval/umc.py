@@ -22,7 +22,24 @@ from audio_sheet_retrieval_tpu.utils.logging import BColors
 
 col = BColors()
 
-DEFAULT_OMR_DIR = "/root/reference/audio_sheet_retrieval/sheet_utils/omr_models"
+# OMR U-Net weights ship with the repo (vendored assets); a reference-style
+# directory of {kind}_params.pkl files is also accepted.
+from audio_sheet_retrieval_tpu.assets import assets_dir as _assets_dir
+
+DEFAULT_OMR_DIR = _assets_dir()
+
+
+def resolve_omr_weights(omr_model_dir: str, kind: str) -> str:
+    """Find the ``kind`` ('system'|'bar'|'note') weight file in a directory,
+    accepting the repo asset name (omr_<kind>.npz) or the reference pickle
+    name (<kind>_params.pkl, reference sheet_utils/omr.py)."""
+    for name in (f"omr_{kind}.npz", f"{kind}_params.pkl"):
+        path = os.path.join(omr_model_dir, name)
+        if os.path.exists(path):
+            return path
+    raise FileNotFoundError(
+        f"no {kind} OMR weights (omr_{kind}.npz or {kind}_params.pkl) "
+        f"in {omr_model_dir}")
 
 
 def make_omr(omr_model_dir: str = DEFAULT_OMR_DIR):
@@ -30,9 +47,9 @@ def make_omr(omr_model_dir: str = DEFAULT_OMR_DIR):
     from audio_sheet_retrieval_tpu.omr.inference import SegmentationNetwork
 
     system_net = SegmentationNetwork.load(
-        os.path.join(omr_model_dir, "system_params.pkl"))
+        resolve_omr_weights(omr_model_dir, "system"))
     bar_net = SegmentationNetwork.load(
-        os.path.join(omr_model_dir, "bar_params.pkl"))
+        resolve_omr_weights(omr_model_dir, "bar"))
     return OpticalMusicRecognizer(system_detector=system_net,
                                   bar_detector=bar_net)
 

@@ -77,7 +77,9 @@ def main():
     cfg = get_model_config("mutopia_ccal_cont_rsz")
     cfg = dataclasses.replace(cfg, compute_dtype=dtype)
 
-    ref_ckpt = "/root/reference/tutorials/params_all_split_mutopia_full_aug.pkl"
+    from audio_sheet_retrieval_tpu import assets
+
+    ref_ckpt = assets.tutorial_checkpoint_path()
     if os.path.exists(ref_ckpt):
         params = lasagne_import.load_retrieval_checkpoint(ref_ckpt, cfg)
         log("using reference checkpoint weights")

@@ -54,15 +54,18 @@ def test_nan_loss_aborts(tmp_path):
     assert len(epochs) <= 4
 
 
-OMR_DIR = "/root/reference/audio_sheet_retrieval/sheet_utils/omr_models"
-PAGE = "/root/reference/tutorials/sheet_image.png"
+from audio_sheet_retrieval_tpu import assets as _assets
+from audio_sheet_retrieval_tpu.retrieval.umc import resolve_omr_weights as _resolve_omr
+
+OMR_DIR = _assets.assets_dir()
+PAGE = _assets.tutorial_sheet_path()
 
 # golden system boxes detected on the tutorial page (row0, row1) per system
 GOLDEN_SYSTEM_ROWS = [(116, 214), (299, 393), (478, 571), (657, 760),
                       (845, 947), (1032, 1127)]
 
 
-@pytest.mark.skipif(not os.path.exists(OMR_DIR), reason="reference absent")
+@pytest.mark.skipif(not _assets.has_asset("omr_system.npz"), reason="vendored OMR assets missing")
 def test_omr_system_boxes_match_golden():
     import cv2
 
@@ -76,9 +79,9 @@ def test_omr_system_boxes_match_golden():
     img = cv2.resize(img, (835, int(835 / img.shape[1] * img.shape[0])))
     omr = OpticalMusicRecognizer(
         system_detector=SegmentationNetwork.load(
-            os.path.join(OMR_DIR, "system_params.pkl")),
+            _resolve_omr(OMR_DIR, "system")),
         bar_detector=SegmentationNetwork.load(
-            os.path.join(OMR_DIR, "bar_params.pkl")))
+            _resolve_omr(OMR_DIR, "bar")))
     systems = omr.detect_systems(prepare_image(img))
     assert len(systems) == len(GOLDEN_SYSTEM_ROWS)
     for (r0, r1), sys_box in zip(GOLDEN_SYSTEM_ROWS, systems):

@@ -1,21 +1,25 @@
 """Golden regression: embeddings of the reference checkpoint on fixed real
 inputs must stay stable across refactors (import conventions, encoder
 numerics, DSP chain). Regenerate tests/golden/reference_embeddings.npz only
-for intentional, understood changes."""
+for intentional, understood changes — and only when tests/test_oracle.py
+(the independent pure-numpy re-derivation of the lasagne semantics) agrees
+with the new values."""
 
 import os
 
 import numpy as np
 import pytest
 
+from audio_sheet_retrieval_tpu import assets
+
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden",
                       "reference_embeddings.npz")
-REF_CKPT = "/root/reference/tutorials/params_all_split_mutopia_full_aug.pkl"
-PAGE = "/root/reference/tutorials/sheet_image.png"
+REF_CKPT = assets.tutorial_checkpoint_path()
+PAGE = assets.tutorial_sheet_path()
 
 requires_ref = pytest.mark.skipif(
     not (os.path.exists(REF_CKPT) and os.path.exists(PAGE)),
-    reason="reference artifacts not mounted")
+    reason="vendored tutorial assets missing")
 
 
 @requires_ref

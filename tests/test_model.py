@@ -10,7 +10,9 @@ import pytest
 from audio_sheet_retrieval_tpu.models import cca_model, encoder, lasagne_import
 from audio_sheet_retrieval_tpu.models.configs import get_model_config
 
-REF_CKPT = "/root/reference/tutorials/params_all_split_mutopia_full_aug.pkl"
+from audio_sheet_retrieval_tpu import assets as _assets
+
+REF_CKPT = _assets.tutorial_checkpoint_path()
 
 
 def _tiny_cfg():

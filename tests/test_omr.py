@@ -11,8 +11,11 @@ import jax.numpy as jnp
 from audio_sheet_retrieval_tpu.models import unet
 from audio_sheet_retrieval_tpu.omr import detectors, inference
 
-OMR_DIR = "/root/reference/audio_sheet_retrieval/sheet_utils/omr_models"
-PAGE = "/root/reference/tutorials/sheet_image.png"
+from audio_sheet_retrieval_tpu import assets as _assets
+from audio_sheet_retrieval_tpu.retrieval.umc import resolve_omr_weights as _resolve_omr
+
+OMR_DIR = _assets.assets_dir()
+PAGE = _assets.tutorial_sheet_path()
 
 
 def _random_unet_params(key=0):
@@ -129,7 +132,7 @@ def test_peak_local_max_2d():
     assert [30, 42] not in coords.tolist()
 
 
-@pytest.mark.skipif(not os.path.exists(OMR_DIR), reason="reference absent")
+@pytest.mark.skipif(not _assets.has_asset("omr_system.npz"), reason="vendored OMR assets missing")
 def test_real_system_detection_on_tutorial_page():
     import cv2
 
@@ -137,9 +140,9 @@ def test_real_system_detection_on_tutorial_page():
     img = cv2.resize(img, (835, int(835 / img.shape[1] * img.shape[0])))
     prep = inference.prepare_image(img)
     sysnet = inference.SegmentationNetwork.load(
-        os.path.join(OMR_DIR, "system_params.pkl"))
+        _resolve_omr(OMR_DIR, "system"))
     barnet = inference.SegmentationNetwork.load(
-        os.path.join(OMR_DIR, "bar_params.pkl"))
+        _resolve_omr(OMR_DIR, "bar"))
     omr = detectors.OpticalMusicRecognizer(system_detector=sysnet,
                                            bar_detector=barnet)
     systems = omr.detect_systems(prep)
@@ -152,7 +155,7 @@ def test_real_system_detection_on_tutorial_page():
     assert (np.diff(systems[:, 0, 0]) > 0).all()
 
 
-@pytest.mark.skipif(not os.path.exists(OMR_DIR), reason="reference absent")
+@pytest.mark.skipif(not _assets.has_asset("omr_system.npz"), reason="vendored OMR assets missing")
 def test_real_bar_detection_on_tutorial_page():
     import cv2
 
@@ -160,9 +163,9 @@ def test_real_bar_detection_on_tutorial_page():
     img = cv2.resize(img, (835, int(835 / img.shape[1] * img.shape[0])))
     prep = inference.prepare_image(img)
     sysnet = inference.SegmentationNetwork.load(
-        os.path.join(OMR_DIR, "system_params.pkl"))
+        _resolve_omr(OMR_DIR, "system"))
     barnet = inference.SegmentationNetwork.load(
-        os.path.join(OMR_DIR, "bar_params.pkl"))
+        _resolve_omr(OMR_DIR, "bar"))
     omr = detectors.OpticalMusicRecognizer(system_detector=sysnet,
                                            bar_detector=barnet)
     systems = omr.detect_systems(prep)
