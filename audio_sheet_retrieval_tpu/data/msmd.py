@@ -94,7 +94,9 @@ def prepare_piece_data_msmd(collection_dir: str, piece_name: str,
         pairs = []
         for m_objid, e_idx in alignment:
             onset_frame = notes_to_onsets([note_events[e_idx]], dt=1.0 / FPS)
-            pairs.append((m_objid, int(onset_frame)))
+            # notes_to_onsets returns an array of unique onset frames; a
+            # single event yields one entry (numpy>=2 forbids int(array))
+            pairs.append((m_objid, int(np.atleast_1d(onset_frame)[0])))
         o2c_maps.append(
             pools.onset_to_coordinates(pairs, un_wrapped_coords))
 
