@@ -492,21 +492,31 @@ class AudioSheetServer:
             gui: bool = False, target_piece: Optional[str] = None,
             max_frames: Optional[int] = None,
             on_update: Optional[Callable] = None,
-            fig_dir: str = "figs"):
+            fig_dir: str = "figs",
+            frame_source=None):
         """Streaming retrieval loop over spectrogram frames (:83-211).
 
         Reports via ``on_update(frame_idx, ranking, votes, fps)``; with
         ``gui=True`` renders the dashboard (running spectrogram, music
         probability, vote histogram) headlessly to ``fig_dir/%05d.png``
         (the reference drew a live matplotlib window + savefig, :140-200).
-        ``spec=None`` would read a microphone stream (unsupported in this
-        environment — pass frames).
+
+        Input is either ``spec`` (precomputed [bins, T] spectrogram) or
+        ``frame_source`` — an iterable (or zero-arg callable returning one)
+        yielding [bins] spectrogram frames. The latter is the injection
+        point for live capture: the reference reads a microphone via a
+        madmom ``Stream`` (reference audio_sheet_server.py:44-50,95); a mic
+        backend on a soundcard host plugs in as
+        ``run(frame_source=mic_frames())`` without touching the server.
+        With a live source the music gate normalizes by a running maximum
+        instead of the full-signal maximum.
         """
         print("Running server ...")
-        if spec is None:
+        if spec is None and frame_source is None:
             raise NotImplementedError(
-                "microphone streaming requires an audio input device; pass a "
-                "precomputed spectrogram")
+                "microphone capture needs an audio input device: pass "
+                "frame_source=<iterable of spectrogram frames> from your "
+                "capture backend, or a precomputed spec")
         if gui:
             import matplotlib
 
@@ -514,17 +524,29 @@ class AudioSheetServer:
             import os
 
             os.makedirs(fig_dir, exist_ok=True)
+        if frame_source is None:
+            frames = iter(spec.T)
+        else:
+            frames = iter(frame_source() if callable(frame_source)
+                          else frame_source)
         running_spec = np.zeros(self.spec_shape, np.float32)
         all_piece_ids = np.zeros(0, np.int64)
         frame_times = np.zeros(10)
         ranking, votes = [], np.zeros(0)
-        n_frames = spec.shape[1] if max_frames is None else min(
-            spec.shape[1], max_frames)
-        for i_frame in range(n_frames):
+        norm_max = 1e-9  # running normalizer for live sources
+        for i_frame, frame in enumerate(frames):
+            if max_frames is not None and i_frame >= max_frames:
+                break
             start = time.time()
-            running_spec = np.hstack((running_spec[:, 1:],
-                                      spec[:, i_frame:i_frame + 1]))
-            m_prob = self._detect_music(running_spec, spec)
+            frame = np.asarray(frame, np.float32).reshape(-1, 1)
+            running_spec = np.hstack((running_spec[:, 1:], frame))
+            if spec is not None:
+                m_prob = self._detect_music(running_spec, spec)
+            else:
+                norm_max = max(norm_max, float(frame.sum()))
+                m_prob = float(np.clip(
+                    running_spec.sum(axis=0).mean() / (norm_max * 0.15),
+                    0.0, 1.0))
             if m_prob > 0.5 and i_frame >= running_spec.shape[1]:
                 spec_code = self.embed_network.compute_view_2(
                     running_spec[None, None])

@@ -122,6 +122,34 @@ def test_streaming_run_reports(setup):
     assert any(r for _, r in updates)
 
 
+def test_streaming_run_from_live_frame_source(setup):
+    """The mic injection point: run(frame_source=...) consumes a frame
+    generator (the live-capture abstraction standing in for the reference's
+    madmom Stream, reference audio_sheet_server.py:44-50,95) and produces
+    the same ranking as the equivalent precomputed-spec run."""
+    srv, names, images, specs = setup
+    spec = specs[0][0][:, :80]
+
+    def mic_frames():
+        for i in range(spec.shape[1]):
+            yield spec[:, i]
+
+    updates = []
+    ranking, votes = srv.run(
+        frame_source=mic_frames, top_k=3, n_candidates=3, running_frames=20,
+        on_update=lambda i, r, v, fps: updates.append((i, list(r))))
+    assert len(updates) == 80
+    ref_ranking, _ = srv.run(
+        spec=spec, top_k=3, n_candidates=3, running_frames=20,
+        on_update=lambda *a: None)
+    assert ranking == ref_ranking
+    # max_frames caps a (potentially infinite) live source
+    few = []
+    srv.run(frame_source=iter(spec.T), max_frames=5, top_k=3,
+            n_candidates=3, on_update=lambda i, *a: few.append(i))
+    assert len(few) == 5
+
+
 def test_device_stream_matches_host_stream_votes(setup):
     """Fused streaming path produces the same ranking as the host loop."""
     srv, names, images, specs = setup
