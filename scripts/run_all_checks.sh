@@ -3,8 +3,8 @@
 # (multi-chip dry run), and the single-chip TPU benchmark.
 set -e
 cd "$(dirname "$0")/.."
-echo "=== tests ==="
-python3 -m pytest tests/ -q
+echo "=== tests (full, incl. slow) ==="
+python3 -m pytest tests/ -q -m ""
 echo "=== driver hooks (virtual 8-device mesh) ==="
 XLA_FLAGS="--xla_force_host_platform_device_count=8" python3 -c "
 import jax; jax.config.update('jax_platforms','cpu')

@@ -40,6 +40,7 @@ def test_model_registry():
         get_model_config("nope")
 
 
+@pytest.mark.slow
 def test_wrapper_loads_both_checkpoint_formats(tmp_path):
     import jax
 
@@ -109,6 +110,7 @@ def test_reports_retrieval_and_piece(tmp_path):
     assert "median 10.0" in rows[0]
 
 
+@pytest.mark.slow
 def test_streaming_gui_renders_frames(tmp_path):
     """server.run(gui=True) writes dashboard pngs headlessly."""
     import jax

@@ -77,6 +77,7 @@ def test_device_iterator_semantics(piece_data):
     assert it.epoch_counter == 1
 
 
+@pytest.mark.slow
 def test_device_pool_trains_with_engine(tmp_path):
     """End-to-end: the engine's fit loop over device-resident data."""
     import jax

@@ -11,6 +11,8 @@ from audio_sheet_retrieval_tpu.models.configs import get_model_config
 from audio_sheet_retrieval_tpu.parallel import mesh as pm
 from audio_sheet_retrieval_tpu.train import engine, state as tstate
 
+pytestmark = pytest.mark.slow  # compile-heavy virtual-mesh suite
+
 
 @pytest.fixture(scope="module")
 def mesh8():

@@ -22,6 +22,7 @@ def _tiny(**over):
     return get_model_config("mutopia_ccal_cont_rsz", **defaults)
 
 
+@pytest.mark.slow
 def test_fit_cca_true_path_runs(tmp_path):
     """FIT_CCA=True: per-epoch offline numpy-CCA refit on the embedded
     train subset (reference train_dcca_pool.py:249-253)."""
@@ -39,6 +40,7 @@ def test_fit_cca_true_path_runs(tmp_path):
     assert np.isfinite(best_map)
 
 
+@pytest.mark.slow
 def test_nan_loss_aborts(tmp_path):
     """NaN training loss forces patience exhaustion (reference :410-411)."""
     cfg = _tiny(ini_learning_rate=1e20, max_epochs=10)  # guaranteed blowup
@@ -66,6 +68,7 @@ GOLDEN_SYSTEM_ROWS = [(116, 214), (299, 393), (478, 571), (657, 760),
 
 
 @pytest.mark.skipif(not _assets.has_asset("omr_system.npz"), reason="vendored OMR assets missing")
+@pytest.mark.slow
 def test_omr_system_boxes_match_golden():
     import cv2
 
@@ -89,6 +92,7 @@ def test_omr_system_boxes_match_golden():
         assert abs(sys_box[2, 0] - r1) <= 6, (r1, sys_box[2, 0])
 
 
+@pytest.mark.slow
 def test_pretrain_burn_in_runs(tmp_path):
     """pretrain_epochs warms the CCA running statistics before training
     (reference train_dcca_pool.py:170-182)."""

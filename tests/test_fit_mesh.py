@@ -11,6 +11,9 @@ from audio_sheet_retrieval_tpu.models import cca_model
 from audio_sheet_retrieval_tpu.models.configs import get_model_config
 from audio_sheet_retrieval_tpu.parallel import mesh as pm
 from audio_sheet_retrieval_tpu.train import engine
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy virtual-mesh suite
 
 
 def test_fit_under_mesh(tmp_path):

@@ -32,6 +32,7 @@ def test_encoder_output_shape_sheet_and_spec():
     assert lat2.shape == (2, cfg.dim_latent)
 
 
+@pytest.mark.slow
 def test_forward_train_and_grads():
     cfg = _tiny_cfg()
     params = cca_model.init_model(jax.random.PRNGKey(1), cfg)

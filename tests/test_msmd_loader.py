@@ -59,6 +59,7 @@ def test_prepare_piece_data_msmd_filters_and_aligns(msmd_stub):
     assert len(specs_f) == 2
 
 
+@pytest.mark.slow
 def test_export_roundtrip_and_one_epoch(msmd_stub, tmp_path, monkeypatch):
     from audio_sheet_retrieval_tpu import config as cfg_mod
     from audio_sheet_retrieval_tpu.cli import export_msmd_npz

@@ -133,6 +133,7 @@ def test_peak_local_max_2d():
 
 
 @pytest.mark.skipif(not _assets.has_asset("omr_system.npz"), reason="vendored OMR assets missing")
+@pytest.mark.slow
 def test_real_system_detection_on_tutorial_page():
     import cv2
 
@@ -156,6 +157,7 @@ def test_real_system_detection_on_tutorial_page():
 
 
 @pytest.mark.skipif(not _assets.has_asset("omr_system.npz"), reason="vendored OMR assets missing")
+@pytest.mark.slow
 def test_real_bar_detection_on_tutorial_page():
     import cv2
 

@@ -57,6 +57,7 @@ def test_sharded_cca_fit_matches_monolithic(mesh8):
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_dp_train_step_under_mesh(mesh8):
     """Train step with batch sharded over the mesh: XLA inserts the
     cross-device reductions for batch stats + grads automatically."""

@@ -5,6 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from audio_sheet_retrieval_tpu.ops import cca, losses, metrics
+import pytest
 
 
 def _views(rng, n=300, d=16, noise=0.4):
@@ -84,6 +85,7 @@ def test_polar_gradients_finite_and_nonzero():
     assert np.abs(g).max() > 0
 
 
+@pytest.mark.slow
 def test_polar_training_learns(tmp_path):
     """End-to-end: tiny model with polar whitening trains above chance."""
     from audio_sheet_retrieval_tpu.data import synthetic

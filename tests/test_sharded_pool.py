@@ -14,6 +14,8 @@ from audio_sheet_retrieval_tpu.models.configs import get_model_config
 from audio_sheet_retrieval_tpu.parallel import sharded_pool as spool
 from audio_sheet_retrieval_tpu.train import state as tstate
 
+pytestmark = pytest.mark.slow  # compile-heavy virtual-mesh suite
+
 
 @pytest.fixture(scope="module")
 def mesh8():

@@ -32,6 +32,7 @@ def _setup(tmp_path, **cfg_over):
     return cfg, data, params, tr_it, va_it
 
 
+@pytest.mark.slow
 def test_fit_improves_over_chance(tmp_path):
     cfg, data, params, tr_it, va_it = _setup(tmp_path)
     epochs = []
@@ -54,6 +55,7 @@ def test_fit_improves_over_chance(tmp_path):
     assert len(curves["map_val"]) == len(epochs)
 
 
+@pytest.mark.slow
 def test_refinement_restart_decays_lr(tmp_path):
     # patience 0 forces immediate 'early stopping' + one refinement restart
     cfg, data, params, tr_it, va_it = _setup(
