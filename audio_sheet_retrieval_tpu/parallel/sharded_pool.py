@@ -117,9 +117,20 @@ class ShardedDevicePool:
             strips, NamedSharding(mesh, P(ax, None, None)))
         self.spec = jax.device_put(
             specs_arr, NamedSharding(mesh, P(ax, None, None)))
-        self.entity_coords = coords       # host copies drive sampling
-        self.entity_onsets = onsets
-        self._ent_sharding = NamedSharding(mesh, P(None, ax, None))
+        # entity tables are device-resident and piece-sharded like the data
+        # planes: the host streams only random LOCAL indices, so no host
+        # ever needs another shard's entity table (multi-host safe)
+        self.coords_plane = jax.device_put(
+            coords, NamedSharding(mesh, P(ax, None)))
+        self.onsets_plane = jax.device_put(
+            onsets, NamedSharding(mesh, P(ax, None)))
+        self._finish_init(mesh, data_axis, sheet_context, staff_height,
+                          spec_context, strip_h, bins, data_augmentation)
+
+    def _finish_init(self, mesh, data_axis, sheet_context, staff_height,
+                     spec_context, strip_h, bins, data_augmentation):
+        ax = data_axis
+        self._idx_sharding = NamedSharding(mesh, P(None, ax, None))
         self.strip_h = strip_h
         self.bins = bins
         self.data_augmentation = dict(data_augmentation or NO_AUGMENT)
@@ -131,13 +142,142 @@ class ShardedDevicePool:
         }
         self._key = jax.random.PRNGKey(int(self.rng.integers(2 ** 31)))
 
+    @classmethod
+    def from_piece_loader(
+        cls,
+        piece_loader,
+        n_pieces: int,
+        mesh: Mesh,
+        widths: Optional[Sequence[int]] = None,
+        data_axis: str = "data",
+        spec_context: int = SPEC_CONTEXT,
+        sheet_context: int = SHEET_CONTEXT,
+        staff_height: int = SYSTEM_HEIGHT,
+        data_augmentation: Optional[Dict] = None,
+        rng: Optional[np.random.Generator] = None,
+    ) -> "ShardedDevicePool":
+        """Multi-host construction: every process loads and materializes
+        ONLY the piece shards owned by its addressable devices.
+
+        ``piece_loader(i) -> (image, [specs], [o2c_maps])`` is called per
+        piece, shard by shard; each shard's padded planes go straight to
+        that shard's device and the global arrays are assembled with
+        ``jax.make_array_from_single_device_arrays`` — no host ever holds
+        the whole corpus. Shard padding dims are agreed through a process
+        allgather of the local maxima.
+
+        ``widths`` (cheap metadata, e.g. from an index file) enables
+        width-balanced piece placement; otherwise round-robin.
+        """
+        from jax.experimental import multihost_utils
+
+        from audio_sheet_retrieval_tpu.data.device_pool import DevicePool
+
+        self = cls.__new__(cls)
+        self.mesh = mesh
+        self.data_axis = data_axis
+        self.rng = rng if rng is not None else np.random.default_rng()
+        D = mesh.shape[data_axis]
+        self.n_shards = D
+        if widths is not None:
+            groups = partition_pieces(widths, D)
+        else:
+            groups = [list(range(d, n_pieces, D)) for d in range(D)]
+        if any(len(g) == 0 for g in groups):
+            raise ValueError(f"{n_pieces} pieces cannot fill {D} shards")
+
+        # mesh devices along the data axis, in axis order
+        ax_index = mesh.axis_names.index(data_axis)
+        mesh_devs = np.moveaxis(mesh.devices, ax_index, 0).reshape(D, -1)
+        my_process = jax.process_index()
+
+        local = {}  # shard -> (pool, device)
+        n_ent_total = 0
+        h_ = w_ = t_ = n_ = b_ = 0
+        for d in range(D):
+            dev = mesh_devs[d][0]
+            if dev.process_index != my_process:
+                continue
+            pieces = [piece_loader(i) for i in groups[d]]
+            p = DevicePool(
+                [im for im, _, _ in pieces],
+                [sp for _, sp, _ in pieces],
+                [oc for _, _, oc in pieces],
+                spec_context=spec_context, sheet_context=sheet_context,
+                staff_height=staff_height,
+                data_augmentation=data_augmentation, rng=self.rng,
+                shuffle=False, mesh=None)
+            local[d] = (p, dev)
+            h_ = max(h_, p.strip_h)
+            w_ = max(w_, np.asarray(p.strip).shape[1])
+            t_ = max(t_, np.asarray(p.spec).shape[1])
+            n_ = max(n_, p.shape[0])
+            b_ = p.bins
+            n_ent_total += p.shape[0]
+
+        # agree on global padded dims + total entity count across processes
+        dims = multihost_utils.process_allgather(
+            np.asarray([h_, w_, t_, n_, b_, n_ent_total], np.int64))
+        dims = np.atleast_2d(dims)
+        strip_h, w_max, t_max, n_max, bins = (
+            int(dims[:, 0].max()), int(dims[:, 1].max()),
+            int(dims[:, 2].max()), int(dims[:, 3].max()),
+            int(dims[:, 4].max()))
+        self.shape = [int(dims[:, 5].sum())]
+        self.entities_per_shard = n_max
+
+        ax = data_axis
+        specs = {
+            "strip": (NamedSharding(mesh, P(ax, None, None)),
+                      (D, strip_h, w_max), np.uint8, 255),
+            "spec": (NamedSharding(mesh, P(ax, None, None)),
+                     (D, bins, t_max), np.float32, 0),
+            "coords_plane": (NamedSharding(mesh, P(ax, None)),
+                             (D, n_max), np.int32, 0),
+            "onsets_plane": (NamedSharding(mesh, P(ax, None)),
+                             (D, n_max), np.int32, 0),
+        }
+
+        def shard_arrays(d):
+            p, _ = local[d]
+            s = np.asarray(p.strip)
+            sp = np.asarray(p.spec)
+            strip_pad = np.full((strip_h, w_max), 255, np.uint8)
+            strip_pad[:s.shape[0], :s.shape[1]] = s
+            spec_pad = np.zeros((bins, t_max), np.float32)
+            spec_pad[:, :sp.shape[1]] = sp
+            fill = np.resize(np.arange(p.shape[0]), n_max)
+            return {"strip": strip_pad, "spec": spec_pad,
+                    "coords_plane": p.entity_coords[fill].astype(np.int32),
+                    "onsets_plane": p.entity_onsets[fill].astype(np.int32)}
+
+        per_shard = {d: shard_arrays(d) for d in local}
+        for name, (sharding, shape, dtype, _fill) in specs.items():
+            bufs = []
+            for d, (_p, _dev) in local.items():
+                # a shard row replicates across any non-data mesh axes:
+                # provide a buffer on every device of that mesh row
+                for dev in mesh_devs[d]:
+                    if dev.process_index == my_process:
+                        bufs.append(
+                            jax.device_put(per_shard[d][name][None], dev))
+            arr = jax.make_array_from_single_device_arrays(
+                shape, sharding, bufs)
+            setattr(self, name, arr)
+
+        self._finish_init(mesh, data_axis, sheet_context, staff_height,
+                          spec_context, strip_h, bins, data_augmentation)
+        return self
+
     def next_key(self):
         self._key, sub = jax.random.split(self._key)
         return sub
 
     def epoch_indices(self, n_batches: int, batch_size: int) -> np.ndarray:
         """[n_batches, D, B/D] per-shard LOCAL entity indices: every device
-        samples its slice of each global batch from its own pieces."""
+        samples its slice of each global batch from its own pieces. The
+        entity tables live on device (piece-sharded), so this is the ONLY
+        thing the host streams per epoch."""
         D = self.n_shards
         if batch_size % D:
             raise ValueError(f"batch {batch_size} not divisible by {D} shards")
@@ -145,13 +285,9 @@ class ShardedDevicePool:
             0, self.entities_per_shard,
             size=(n_batches, D, batch_size // D)).astype(np.int32)
 
-    def _gather_entities(self, idx: np.ndarray):
-        """idx [n, D, B/D] local indices -> sharded coord/onset matrices."""
-        d_ix = np.arange(self.n_shards)[None, :, None]
-        coords = self.entity_coords[d_ix, idx]
-        onsets = self.entity_onsets[d_ix, idx]
-        return (jax.device_put(coords, self._ent_sharding),
-                jax.device_put(onsets, self._ent_sharding))
+    def put_indices(self, idx: np.ndarray):
+        """idx [n, D, B/D] -> device, sharded over the data axis."""
+        return jax.device_put(idx, self._idx_sharding)
 
 
 def make_sharded_epoch_runner(cfg, optimizer, pool: ShardedDevicePool):
@@ -169,27 +305,30 @@ def make_sharded_epoch_runner(cfg, optimizer, pool: ShardedDevicePool):
     assemble = pool._local_assemble[True]
     mesh, ax = pool.mesh, pool.data_axis
 
-    def local_assemble(strip, spec, coords, onsets, key):
-        # strip [1, H, W] / coords [1, b] on this device; drop the shard dim
+    def local_assemble(strip, spec, coords_pl, onsets_pl, idx, key):
+        # per-device slices: strip [1, H, W], entity planes [1, n_max],
+        # idx [1, b] — gather THIS shard's entities on device, then assemble
         key = jax.random.fold_in(key, jax.lax.axis_index(ax))
-        x1, x2 = assemble(strip[0], spec[0], coords[0], onsets[0], key)
+        coords = coords_pl[0][idx[0]]
+        onsets = onsets_pl[0][idx[0]]
+        x1, x2 = assemble(strip[0], spec[0], coords, onsets, key)
         return x1[None], x2[None]
 
     sharded_assemble = jax.shard_map(
         local_assemble, mesh=mesh,
         in_specs=(P(ax, None, None), P(ax, None, None), P(ax, None),
-                  P(ax, None), P()),
+                  P(ax, None), P(ax, None), P()),
         out_specs=(P(ax, None, None, None, None),
                    P(ax, None, None, None, None)),
         check_vma=False)
 
     @jax.jit
-    def run_epoch(state, strip, spec, coords_mat, onsets_mat, key):
-        def body(carry, inputs):
-            st, k = carry
-            coords, onsets = inputs          # [D, B/D] sharded on D
+    def run_epoch(state, strip, spec, coords_pl, onsets_pl, idx_mat, key):
+        def body(carry, idx):
+            st, k = carry                    # idx [D, B/D] sharded on D
             k, sub = jax.random.split(k)
-            x1, x2 = sharded_assemble(strip, spec, coords, onsets, sub)
+            x1, x2 = sharded_assemble(strip, spec, coords_pl, onsets_pl,
+                                      idx, sub)
             # [D, b, 1, sh, ctx] -> [B, 1, sh, ctx], still sharded on batch
             x1 = x1.reshape((-1,) + x1.shape[2:])
             x2 = x2.reshape((-1,) + x2.shape[2:])
@@ -197,15 +336,15 @@ def make_sharded_epoch_runner(cfg, optimizer, pool: ShardedDevicePool):
             return (st, k), (m["loss"], m["corr"])
 
         (state, _), (losses, corrs) = jax.lax.scan(
-            body, (state, key), (coords_mat, onsets_mat))
+            body, (state, key), idx_mat)
         return state, losses, corrs
 
     def runner(state, idx: np.ndarray, key=None):
         """idx: [n_batches, D, B/D] from pool.epoch_indices."""
-        coords, onsets = pool._gather_entities(idx)
         if key is None:
             key = pool.next_key()
-        return run_epoch(state, pool.strip, pool.spec, coords, onsets, key)
+        return run_epoch(state, pool.strip, pool.spec, pool.coords_plane,
+                         pool.onsets_plane, pool.put_indices(idx), key)
 
     return runner
 
@@ -225,25 +364,27 @@ def make_sharded_embed_runner(cfg, pool: ShardedDevicePool):
     mesh, ax = pool.mesh, pool.data_axis
     loss_weight = 1.0 - cfg.weight_tno
 
-    def local_assemble(strip, spec, coords, onsets, key):
+    def local_assemble(strip, spec, coords_pl, onsets_pl, idx, key):
         key = jax.random.fold_in(key, jax.lax.axis_index(ax))
-        x1, x2 = assemble(strip[0], spec[0], coords[0], onsets[0], key)
+        coords = coords_pl[0][idx[0]]
+        onsets = onsets_pl[0][idx[0]]
+        x1, x2 = assemble(strip[0], spec[0], coords, onsets, key)
         return x1[None], x2[None]
 
     sharded_assemble = jax.shard_map(
         local_assemble, mesh=mesh,
         in_specs=(P(ax, None, None), P(ax, None, None), P(ax, None),
-                  P(ax, None), P()),
+                  P(ax, None), P(ax, None), P()),
         out_specs=(P(ax, None, None, None, None),
                    P(ax, None, None, None, None)),
         check_vma=False)
 
     @jax.jit
-    def run(params, strip, spec, coords_mat, onsets_mat, key):
-        def body(k, inputs):
-            coords, onsets = inputs
+    def run(params, strip, spec, coords_pl, onsets_pl, idx_mat, key):
+        def body(k, idx):
             k, sub = jax.random.split(k)
-            x1, x2 = sharded_assemble(strip, spec, coords, onsets, sub)
+            x1, x2 = sharded_assemble(strip, spec, coords_pl, onsets_pl,
+                                      idx, sub)
             x1 = x1.reshape((-1,) + x1.shape[2:])
             x2 = x2.reshape((-1,) + x2.shape[2:])
             lv1 = cca_model.embed_view1(
@@ -253,16 +394,14 @@ def make_sharded_embed_runner(cfg, pool: ShardedDevicePool):
                 lv1, lv2, weight=loss_weight, gamma=cfg.gamma)
             return k, (lv1, lv2, loss)
 
-        _, (lv1s, lv2s, losses) = jax.lax.scan(
-            body, key, (coords_mat, onsets_mat))
+        _, (lv1s, lv2s, losses) = jax.lax.scan(body, key, idx_mat)
         d = lv1s.shape[-1]
         return lv1s.reshape(-1, d), lv2s.reshape(-1, d), losses
 
     def runner(params, idx: np.ndarray):
         """idx: [n, D, B/D] local indices (pool.epoch_indices)."""
-        coords, onsets = pool._gather_entities(idx)
-        return run(params, pool.strip, pool.spec, coords, onsets,
-                   pool.next_key())
+        return run(params, pool.strip, pool.spec, pool.coords_plane,
+                   pool.onsets_plane, pool.put_indices(idx), pool.next_key())
 
     return runner
 

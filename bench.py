@@ -18,9 +18,11 @@ Env knobs:
   ASR_BENCH_PIECES  number of benchmark pieces (default 24)
   ASR_BENCH_SECS    audio seconds per piece (default 60)
   ASR_BENCH_WIDTH   strip width px per piece (default 20000)
-  ASR_BENCH_PACK4   1 (default): upload sheet strips 4-bit packed (pairwise
-                    embedding cosine >= 0.99996 vs full precision — see
-                    PARITY.md); 0: raw uint8
+  ASR_BENCH_SHEET   rle (default): LOSSLESS run-length sheet upload with
+                    on-device decode — bit-identical embeddings at ~0.03-0.2
+                    B/px | pack4: lossy 4-bit (cosine >= 0.99996, 0.5 B/px)
+                    | raw: uint8
+  ASR_BENCH_PACK4   legacy alias: =0 selects raw when ASR_BENCH_SHEET unset
   ASR_BENCH_MULAW   1 (default): upload audio mu-law companded to 8 bits
                     (A/B on the reference checkpoint + reference recording:
                     excerpt cosine >= 0.9999, cross-modal top-1/top-5
@@ -40,6 +42,27 @@ import numpy as np
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def _real_staff_band() -> np.ndarray:
+    """[160, W] uint8 staff band from the vendored tutorial page (real
+    engraving, the honest content for wire-size-dependent codings); falls
+    back to a drawn staff pattern if assets/cv2 are unavailable."""
+    try:
+        import cv2
+
+        from audio_sheet_retrieval_tpu import assets
+
+        img = cv2.imread(assets.tutorial_sheet_path(), 0)
+        img = cv2.resize(img, (835, int(835 / img.shape[1] * img.shape[0])))
+        return np.ascontiguousarray(img[260:420])
+    except Exception:
+        band = np.full((160, 800), 255, np.uint8)
+        band[40:120:20, :] = 0  # staff lines
+        rng = np.random.default_rng(7)
+        for x in rng.integers(10, 790, 60):
+            band[rng.integers(35, 120):, x:x + 4][:8] = 0
+        return band
 
 
 def main():
@@ -92,10 +115,19 @@ def main():
     sheet_w = cfg.input_shape_1[2]
     spec_w = cfg.input_shape_2[2]
 
-    pack4 = os.environ.get("ASR_BENCH_PACK4", "1") == "1"
-    if pack4:
+    # sheet upload coding: rle (lossless, default) | pack4 (lossy 4-bit) |
+    # raw. ASR_BENCH_PACK4=0 is honored for backwards compat (-> raw).
+    sheet_mode = os.environ.get("ASR_BENCH_SHEET", "rle")
+    if os.environ.get("ASR_BENCH_PACK4") == "0" and "ASR_BENCH_SHEET" \
+            not in os.environ:
+        sheet_mode = "raw"
+    pack4 = sheet_mode == "pack4"
+    if sheet_mode == "pack4":
         embed_strip = win.make_strip_embedder_packed(params, cfg,
                                                      center_crop=160)
+    elif sheet_mode == "rle":
+        embed_strip = win.make_strip_embedder_rle(params, cfg, (200, width),
+                                                  center_crop=160)
     else:
         embed_strip = win.make_strip_embedder(params, cfg, center_crop=160)
     mulaw = os.environ.get("ASR_BENCH_MULAW", "1") == "1"
@@ -112,20 +144,49 @@ def main():
     sheet_starts_d = jnp.asarray(sheet_starts)
     spec_starts_d = jnp.asarray(spec_starts)
     emb_per_piece = len(sheet_starts) + len(spec_starts)
-    sheet_bytes = 200 * width // (2 if pack4 else 1)
-    bytes_per_piece = sheet_bytes + n_samples * (1 if mulaw else 2)
-    log(f"per piece: {len(sheet_starts)} sheet + {len(spec_starts)} audio "
-        f"embeddings, {bytes_per_piece / 1e6:.1f} MB raw upload")
 
+    # realistic sheet content: tile the real vendored tutorial staff band to
+    # the piece width (RLE wire size is content-dependent; noise strips
+    # would be dishonest in either direction). Distinct roll per piece.
     rng = np.random.default_rng(0)
-    strips = [(rng.random((200, width)) * 255).astype(np.uint8)
-              for _ in range(n_pieces)]
-    if pack4:
-        strips = [win.pack_strip_4bit(s_) for s_ in strips]
+    band = _real_staff_band()  # [160, Wb] uint8
+    reps = int(np.ceil(width / band.shape[1]))
+    tiled = np.tile(band, (1, reps))[:, :width]
+    raw_strips = []
+    for p in range(n_pieces):
+        s_ = np.full((200, width), 255, np.uint8)
+        s_[20:180] = np.roll(tiled, int(rng.integers(0, width)), axis=1)
+        raw_strips.append(s_)
+    if sheet_mode == "pack4":
+        strips = [win.pack_strip_4bit(s_) for s_ in raw_strips]
+        sheet_bytes = [s_.nbytes for s_ in strips]
+    elif sheet_mode == "rle":
+        strips = [win.rle_encode_strip(s_) for s_ in raw_strips]
+        # pad every piece to the same run count -> single compile
+        r_max = max(v.shape[0] for v, _ in strips)
+        strips = [(np.pad(v, (0, r_max - v.shape[0])),
+                   np.pad(l, (0, r_max - l.shape[0]))) for v, l in strips]
+        sheet_bytes = [v.nbytes + l.nbytes for v, l in strips]
+    else:
+        strips = raw_strips
+        sheet_bytes = [s_.nbytes for s_ in strips]
+    bytes_per_piece = int(np.mean(sheet_bytes)) + n_samples * (
+        1 if mulaw else 2)
+    log(f"per piece: {len(sheet_starts)} sheet + {len(spec_starts)} audio "
+        f"embeddings, {bytes_per_piece / 1e6:.1f} MB upload "
+        f"(sheet={sheet_mode}: {np.mean(sheet_bytes) / (200 * width):.3f} "
+        f"B/px)")
     audios = [(rng.standard_normal(n_samples) * 3000).astype(np.int16)
               for _ in range(n_pieces)]
     if mulaw:
         audios = [win.mulaw_encode(a) for a in audios]
+
+    def upload_embed_strip(p):
+        if sheet_mode == "rle":
+            v, l = strips[p]
+            return embed_strip(jnp.asarray(v), jnp.asarray(l),
+                               sheet_starts_d)
+        return embed_strip(jnp.asarray(strips[p]), sheet_starts_d)
 
     # NOTE block_until_ready does not actually synchronize on the axon
     # tunnel backend; a scalar download of a value depending on ALL outputs
@@ -133,7 +194,7 @@ def main():
     checksum = jax.jit(lambda xs: sum(jnp.sum(x) for x in xs))
 
     # warmup / compile
-    r1 = embed_strip(jnp.asarray(strips[0]), sheet_starts_d)
+    r1 = upload_embed_strip(0)
     r2 = embed_audio(jnp.asarray(audios[0]), spec_starts_d, n_frames)
     float(checksum([r1, r2]))
 
@@ -146,7 +207,7 @@ def main():
         t0 = time.perf_counter()
         outs = []
         for p in range(n_pieces):  # async dispatch pipelines upload+compute
-            outs.append(embed_strip(jnp.asarray(strips[p]), sheet_starts_d))
+            outs.append(upload_embed_strip(p))
             outs.append(embed_audio(jnp.asarray(audios[p]), spec_starts_d,
                                     n_frames))
         float(checksum(outs))  # forced sync
@@ -164,7 +225,9 @@ def main():
     # whole measurement inside ONE dispatch — per-call timing here is
     # dominated by the tunnel's degraded dispatch latency (~26 ms/call
     # after any download) and under-reports the chip by ~25x
-    strip_dev = jax.device_put(strips[0])
+    # ceiling path operates on the decoded/raw (or packed) strip in HBM
+    strip_dev = jax.device_put(
+        win.pack_strip_4bit(raw_strips[0]) if pack4 else raw_strips[0])
     n_reps = 50
 
     @jax.jit
@@ -254,7 +317,10 @@ def main():
             "train_updates_per_s": (round(train_ups, 1)
                                     if train_ups else None),
             "dtype": dtype,
-            "sheet_upload": "4bit-packed" if pack4 else "uint8",
+            "sheet_upload": {"rle": "rle-lossless", "pack4": "4bit-packed"
+                             }.get(sheet_mode, "uint8"),
+            "sheet_wire_bytes_per_px": round(
+                float(np.mean(sheet_bytes)) / (200 * width), 4),
             "audio_upload": "mulaw-8bit" if mulaw else "int16",
             "device": str(dev),
         },

@@ -55,26 +55,26 @@ def test_batches_respect_shard_locality(mesh8):
                                  rng=np.random.default_rng(1))
     groups = spool.partition_pieces([im.shape[1] for im in marked], 8)
     idx = dp.epoch_indices(1, 16)
-    coords, onsets = dp._gather_entities(idx)
-    # assemble one batch with the same shard_map machinery the runner uses
+    # assemble one batch with the same shard_map machinery the runner uses:
+    # entity tables are device-resident, the host streams only indices
     from jax.sharding import PartitionSpec as P
 
     assemble = dp._local_assemble[True]
 
-    def local(strip, spec, c, o, key):
+    def local(strip, spec, cp, op, ix, key):
         key = jax.random.fold_in(key, jax.lax.axis_index("data"))
-        a, b = assemble(strip[0], spec[0], c[0], o[0], key)
+        a, b = assemble(strip[0], spec[0], cp[0][ix[0]], op[0][ix[0]], key)
         return a[None], b[None]
 
     sh = jax.shard_map(
         local, mesh=mesh8,
         in_specs=(P("data", None, None), P("data", None, None),
-                  P("data", None), P("data", None), P()),
+                  P("data", None), P("data", None), P("data", None), P()),
         out_specs=(P("data", None, None, None, None),
                    P("data", None, None, None, None)),
         check_vma=False)
-    x1, _ = jax.jit(sh)(dp.strip, dp.spec, coords[0], onsets[0],
-                        jax.random.PRNGKey(3))
+    x1, _ = jax.jit(sh)(dp.strip, dp.spec, dp.coords_plane, dp.onsets_plane,
+                        dp.put_indices(idx)[0], jax.random.PRNGKey(3))
     x1 = np.asarray(x1)  # [8, 2, 1, sh, ctx]
     for d in range(8):
         vals = np.unique(x1[d])
@@ -138,3 +138,44 @@ def test_fit_over_sharded_dataset(mesh8, tmp_path):
     assert len(epochs) == 2
     assert np.isfinite(epochs[-1]["train_loss"])
     assert np.isfinite(best_map)
+
+
+def test_from_piece_loader_builds_without_global_host_corpus(mesh8):
+    """Multi-host construction path: pieces load lazily per shard, planes
+    are assembled with jax.make_array_from_single_device_arrays, and the
+    result matches the legacy constructor's layout + trains."""
+    tr = synthetic.make_piece_list(5, 8, n_onsets=40)
+    images, specs, o2c = tr
+    calls = []
+
+    def loader(i):
+        calls.append(i)
+        return images[i], specs[i], o2c[i]
+
+    dp = spool.ShardedDevicePool.from_piece_loader(
+        loader, n_pieces=8, mesh=mesh8,
+        widths=[im.shape[1] for im in images],
+        data_augmentation=pools.NO_AUGMENT, rng=np.random.default_rng(0))
+    assert sorted(calls) == list(range(8))  # every piece loaded exactly once
+    assert len(dp.strip.addressable_shards) == 8
+    assert {s.data.shape for s in dp.strip.addressable_shards} == \
+        {(1,) + dp.strip.shape[1:]}
+
+    # identical plane content to the legacy (host-materialized) constructor
+    ref = spool.ShardedDevicePool(
+        images, specs, o2c, mesh=mesh8,
+        data_augmentation=pools.NO_AUGMENT, rng=np.random.default_rng(0))
+    np.testing.assert_array_equal(np.asarray(dp.strip), np.asarray(ref.strip))
+    np.testing.assert_array_equal(np.asarray(dp.coords_plane),
+                                  np.asarray(ref.coords_plane))
+    assert dp.shape == ref.shape
+
+    # and it trains through the fused epoch runner
+    cfg = get_model_config("mutopia_ccal_cont_rsz", num_filters=4,
+                           dim_latent=8, batch_size=16)
+    opt = tstate.make_optimizer(cfg.ini_learning_rate)
+    st = tstate.init_train_state(
+        cca_model.init_model(jax.random.PRNGKey(0), cfg), cfg, opt)
+    runner = spool.make_sharded_epoch_runner(cfg, opt, dp)
+    st, losses, _ = runner(st, dp.epoch_indices(2, 16))
+    assert np.isfinite(np.asarray(losses)).all()

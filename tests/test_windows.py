@@ -128,3 +128,50 @@ def test_mulaw_audio_embedder_matches_raw_path():
         jnp.asarray(windows.mulaw_encode(sig)), starts, nf))
     cos = np.sum(raw * mu, axis=1)  # embeddings are L2-normalized
     assert cos.min() > 0.999
+
+
+def test_rle_roundtrip_lossless():
+    """Host RLE encode -> device decode is bit-exact, including long-run
+    splitting and zero-length padding runs."""
+    rng = np.random.default_rng(11)
+    strip = np.full((40, 500), 255, np.uint8)
+    # contiguous ink blobs + antialiased edges
+    for x in rng.integers(0, 480, 40):
+        strip[rng.integers(0, 30):, x:x + 6][:10] = rng.integers(0, 60)
+        strip[:, x + 6] = 128
+    v, l = windows.rle_encode_strip(strip)
+    assert v.dtype == np.uint8 and l.dtype == np.uint16
+    assert len(v) % windows.RLE_PAD_RUNS == 0
+    out = np.asarray(windows.rle_decode_device(
+        jnp.asarray(v), jnp.asarray(l), *strip.shape))
+    np.testing.assert_array_equal(out, strip)
+
+    # constant strip: single run spanning > 65535 px exercises the split
+    const = np.full((160, 600), 201, np.uint8)
+    v, l = windows.rle_encode_strip(const)
+    out = np.asarray(windows.rle_decode_device(
+        jnp.asarray(v), jnp.asarray(l), *const.shape))
+    np.testing.assert_array_equal(out, const)
+
+
+def test_rle_embedder_bit_identical_to_raw():
+    """The fused RLE strip embedder produces BIT-IDENTICAL embeddings to the
+    raw uint8 path (lossless coding, same downstream program)."""
+    cfg = get_model_config("mutopia_ccal_cont_rsz", num_filters=4,
+                                   dim_latent=8)
+    params = cca_model.init_model(jax.random.PRNGKey(0), cfg)
+    params = params._replace(cca=params.cca._replace(
+        U=jnp.eye(cfg.dim_latent), V=jnp.eye(cfg.dim_latent)))
+    rng = np.random.default_rng(3)
+    strip = np.full((200, 1200), 255, np.uint8)
+    for x in rng.integers(0, 1000, 80):
+        strip[rng.integers(20, 170):, x:x + 5][:12] = 0
+    starts = jnp.asarray(np.arange(0, 1000, 125, dtype=np.int32))
+    raw = np.asarray(windows.make_strip_embedder(params, cfg,
+                                                 center_crop=160)(
+        jnp.asarray(strip), starts))
+    v, l = windows.rle_encode_strip(strip)
+    rle = np.asarray(windows.make_strip_embedder_rle(
+        params, cfg, strip.shape, center_crop=160)(
+        jnp.asarray(v), jnp.asarray(l), starts))
+    np.testing.assert_array_equal(raw, rle)
