@@ -33,6 +33,39 @@ def make_mesh(shape: Optional[Tuple[int, ...]] = None,
     return Mesh(dev_array, axis_names=tuple(axis_names))
 
 
+def make_hybrid_mesh(ici_shape: Tuple[int, ...],
+                     dcn_shape: Tuple[int, ...],
+                     axis_names: Sequence[str],
+                     devices=None) -> Mesh:
+    """DCN-aware mesh for multi-slice / multi-pod deployments.
+
+    Axis i spans ``dcn_shape[i]`` slices over the data-center network and
+    ``ici_shape[i]`` chips within a slice over ICI; collectives on an axis
+    with ``dcn_shape[i] == 1`` ride ICI only. The standard production
+    layout puts data-parallel (gradient/CCA-stat psums, 32x32-scale
+    payloads — DCN-tolerant) across slices and everything bandwidth-hungry
+    (gallery shards, batch all-gathers) inside a slice:
+
+        mesh = make_hybrid_mesh((1, 8), (n_slices, 1), ("data", "db"))
+
+    Falls back to a plain reshape when ``mesh_utils`` cannot derive the
+    hybrid topology (CPU/virtual devices), keeping the same axis semantics
+    so code is testable on the virtual mesh.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    total = int(np.prod(ici_shape) * np.prod(dcn_shape))
+    assert total == len(devices), (ici_shape, dcn_shape, len(devices))
+    try:
+        from jax.experimental import mesh_utils
+
+        dev_array = mesh_utils.create_hybrid_device_mesh(
+            ici_shape, dcn_shape, devices=devices)
+    except Exception:
+        shape = tuple(i * d for i, d in zip(ici_shape, dcn_shape))
+        dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, axis_names=tuple(axis_names))
+
+
 def batch_sharding(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
     """Shard the leading (batch) dimension across ``axis``."""
     return NamedSharding(mesh, P(axis))

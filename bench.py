@@ -230,22 +230,35 @@ def main():
         win.pack_strip_4bit(raw_strips[0]) if pack4 else raw_strips[0])
     n_reps = 50
 
-    @jax.jit
-    def ceiling_scan(p, strip, starts):
-        # vary the windows per iteration: a loop-invariant body would be
-        # hoisted out of the scan by XLA and measure a single execution
-        def body(c, i):
-            r = win._strip_embed_core(p, strip, starts + i % 8, cfg,
-                                      pack4, 160)
-            return c + r.sum(), 0
-        return jax.lax.scan(body, 0.0, jnp.arange(n_reps))[0]
+    def make_ceiling_scan(ccfg):
+        @jax.jit
+        def ceiling_scan(p, strip, starts):
+            # vary the windows per iteration: a loop-invariant body would be
+            # hoisted out of the scan by XLA and measure a single execution
+            def body(c, i):
+                r = win._strip_embed_core(p, strip, starts + i % 8, ccfg,
+                                          pack4, 160)
+                return c + r.astype(jnp.float32).sum(), 0
+            return jax.lax.scan(body, 0.0, jnp.arange(n_reps))[0]
+        return ceiling_scan
 
     params_dev = jax.device_put(params)
-    float(ceiling_scan(params_dev, strip_dev, sheet_starts_d))
-    t0 = time.perf_counter()
-    float(ceiling_scan(params_dev, strip_dev, sheet_starts_d))
-    ceiling = n_reps * len(sheet_starts) / (time.perf_counter() - t0)
-    log(f"device-resident sheet ceiling: {ceiling:,.0f} emb/s")
+
+    def measure_ceiling(ccfg):
+        scan = make_ceiling_scan(ccfg)
+        float(scan(params_dev, strip_dev, sheet_starts_d))
+        t0 = time.perf_counter()
+        float(scan(params_dev, strip_dev, sheet_starts_d))
+        return n_reps * len(sheet_starts) / (time.perf_counter() - t0)
+
+    ceiling = measure_ceiling(cfg)
+    # serving-mode ceiling: bf16 compute (accuracy A/B'd — PARITY.md #11-13,
+    # capstone) is conv-bound ~3x faster; ingress is ~10% of the f32 time
+    # (scripts/ceiling_probe.py decomposition)
+    cfg_bf16 = dataclasses.replace(cfg, compute_dtype="bfloat16")
+    ceiling_bf16 = measure_ceiling(cfg_bf16) if dtype == "float32" else ceiling
+    log(f"device-resident sheet ceiling: {ceiling:,.0f} emb/s "
+        f"({dtype}); bf16 serving mode: {ceiling_bf16:,.0f} emb/s")
 
     # piece-ID query latency: full detect_score (100 excerpts from raw audio
     # vs a 100k-snippet gallery, top-25 + vote) fused into ONE dispatch
@@ -311,6 +324,7 @@ def main():
         "detail": {
             "raw_ingest_MBps": round(mbps, 1),
             "device_resident_sheet_emb_per_s": round(ceiling, 1),
+            "device_resident_sheet_emb_per_s_bf16": round(ceiling_bf16, 1),
             "piece_id_query_p50_ms": round(p50, 2),
             "sheet_windows_per_piece": int(len(sheet_starts)),
             "audio_windows_per_piece": int(len(spec_starts)),

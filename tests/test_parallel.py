@@ -100,3 +100,38 @@ def test_sharded_gallery_negative_scores_no_padding_eviction(mesh8):
     want = np.argsort(-(qn @ gn.T), axis=1)[:, :6]
     for r in range(2):
         assert set(i[r]) == set(want[r])
+
+
+def test_hybrid_mesh_axes_and_training():
+    """DCN-aware hybrid mesh: 2 'slices' x 4 chips -> ('data' across DCN,
+    'db' inside ICI); the training step + gallery search run under it on
+    the virtual backend (fallback reshape path)."""
+    from audio_sheet_retrieval_tpu.models import cca_model
+    from audio_sheet_retrieval_tpu.models.configs import get_model_config
+    from audio_sheet_retrieval_tpu.train import engine, state as tstate
+
+    mesh = pm.make_hybrid_mesh((1, 4), (2, 1), (pm.DATA_AXIS, pm.DB_AXIS))
+    assert dict(mesh.shape) == {"data": 2, "db": 4}
+
+    cfg = get_model_config("mutopia_ccal_cont_rsz", num_filters=4,
+                           dim_latent=8, batch_size=8)
+    params = cca_model.init_model(jax.random.PRNGKey(0), cfg)
+    opt = tstate.make_optimizer(cfg.ini_learning_rate)
+    st = pm.replicate(mesh, tstate.init_train_state(params, cfg, opt))
+    step = jax.jit(engine.make_train_step(cfg, opt))
+    rng = np.random.default_rng(0)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    spec = NamedSharding(mesh, P(mesh.axis_names))
+    x1 = jax.device_put((rng.random((8, 1, 160, 200)) * 255).astype(
+        np.float32), spec)
+    x2 = jax.device_put(rng.random((8, 1, 92, 42)).astype(np.float32), spec)
+    st, m = step(st, x1, x2)
+    assert np.isfinite(float(m["loss"]))
+
+    sub = pm.make_mesh((4,), axis_names=(pm.DB_AXIS,),
+                       devices=list(mesh.devices[0]))
+    g = rng.standard_normal((64, 8)).astype(np.float32)
+    q = rng.standard_normal((3, 8)).astype(np.float32)
+    s, i = pg.sharded_gallery_search(sub, g, q, k=4, axis=pm.DB_AXIS)
+    assert np.isfinite(s).all() and i.shape == (3, 4)
