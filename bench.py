@@ -285,7 +285,7 @@ def main():
         f"fused single dispatch): {p50:.1f} ms")
 
     # training throughput: device-resident data path, full rsz model
-    train_ups = None
+    train_ups = train_ups_bf16 = None
     if os.environ.get("ASR_BENCH_TRAIN", "1") == "1":
         from audio_sheet_retrieval_tpu.data import device_pool as dpool
         from audio_sheet_retrieval_tpu.data import pools, synthetic
@@ -312,8 +312,20 @@ def main():
         st, losses, _ = runner(st, ent)
         float(losses.sum())  # forced sync
         train_ups = n_batches / (time.perf_counter() - t0)
+        # bf16 training recipe (accuracy-neutral at scale — capstone A/B)
+        if dtype == "float32":
+            runner16 = dpool.make_epoch_runner(cfg_bf16, opt, dp)
+            st16 = tstate.init_train_state(t_params, cfg_bf16, opt)
+            st16, losses, _ = runner16(st16, ent)  # compile
+            float(losses.sum())
+            t0 = time.perf_counter()
+            st16, losses, _ = runner16(st16, ent)
+            float(losses.sum())
+            train_ups_bf16 = n_batches / (time.perf_counter() - t0)
         log(f"training: {train_ups:.1f} updates/s (batch {cfg.batch_size}, "
-            f"fused {n_batches}-step epoch, device-resident data)")
+            f"fused {n_batches}-step epoch, device-resident data)"
+            + (f"; bf16 recipe: {train_ups_bf16:.1f} updates/s"
+               if train_ups_bf16 else ""))
 
     baseline = 1000.0  # north-star embeddings/sec/chip
     print(json.dumps({
@@ -330,6 +342,8 @@ def main():
             "audio_windows_per_piece": int(len(spec_starts)),
             "train_updates_per_s": (round(train_ups, 1)
                                     if train_ups else None),
+            "train_updates_per_s_bf16": (round(train_ups_bf16, 1)
+                                         if train_ups_bf16 else None),
             "dtype": dtype,
             "sheet_upload": {"rle": "rle-lossless", "pack4": "4bit-packed"
                              }.get(sheet_mode, "uint8"),
