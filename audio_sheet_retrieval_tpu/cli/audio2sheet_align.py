@@ -125,8 +125,8 @@ def main(argv=None):
         piece_pxl_errors[piece] = pxl_errors
 
     if args.dump_alignment:
-        res_file = dump_file.replace("params_", "alignment_res_").replace(
-            ".pkl", "_%s.pkl" % args.align_by)
+        res_file = cfg_mod.derive_result_path(
+            dump_file, "alignment_res_", "%s.pkl" % args.align_by)
         os.makedirs(os.path.dirname(os.path.abspath(res_file)), exist_ok=True)
         with open(res_file, "wb") as fp:
             pickle.dump(piece_pxl_errors, fp)

@@ -169,8 +169,8 @@ def main(argv=None):
                     % (n_correct, len(ranks), r), col.WARNING))
 
         if args.dump_results:
-            res_file = dump_file.replace("params_", "retrieval_").replace(
-                ".pkl", "_A2S.yaml")
+            res_file = cfg_mod.derive_result_path(
+                dump_file, "retrieval_", "A2S.yaml")
             os.makedirs(os.path.dirname(os.path.abspath(res_file)),
                         exist_ok=True)
             with open(res_file, "w") as fp:

@@ -104,8 +104,8 @@ def main(argv=None):
 
     if args.dump_results:
         ret_dir = "A2S" if args.V2_to_V1 else "S2A"
-        res_file = dump_file.replace("params_", "eval_").replace(
-            ".pkl", "_%s.yaml" % ret_dir)
+        res_file = cfg_mod.derive_result_path(
+            dump_file, "eval_", "%s.yaml" % ret_dir)
         os.makedirs(os.path.dirname(os.path.abspath(res_file)), exist_ok=True)
         with open(res_file, "w") as fp:
             yaml.safe_dump(results, fp, default_flow_style=False)

@@ -119,8 +119,8 @@ def main(argv=None):
 
     if args.dump_results:
         ret_dir = "S2A" + ("_real" if args.real_perf else "")
-        res_file = dump_file.replace("params_", "umc_retrieval_").replace(
-            ".pkl", "_%s_%s.yaml" % (dset, ret_dir))
+        res_file = cfg_mod.derive_result_path(
+            dump_file, "umc_retrieval_", "%s_%s.yaml" % (dset, ret_dir))
         os.makedirs(os.path.dirname(os.path.abspath(res_file)), exist_ok=True)
         with open(res_file, "w") as fp:
             yaml.safe_dump([int(r) for r in ranks], fp,

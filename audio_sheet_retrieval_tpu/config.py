@@ -70,6 +70,22 @@ def load_split(split_file: str) -> Dict[str, List[str]]:
         return yaml.safe_load(fp)
 
 
+def derive_result_path(param_file: str, prefix: str, suffix: str) -> str:
+    """Reference artifact-naming convention, made safe for any checkpoint
+    extension: ``.../params_<tag>.pkl -> .../<prefix><tag>_<suffix>``
+    (reference run_eval.py:196-212, umc_a2s_server.py:116-118 used string
+    replace on '.pkl', which would return the CHECKPOINT path itself — and
+    overwrite it on dump — for .npz/orbax parameter files)."""
+    d, base = os.path.split(param_file)
+    stem = os.path.splitext(base)[0]
+    if stem.startswith("params_"):
+        stem = stem[len("params_"):]
+    elif stem == "params":
+        stem = ""
+    name = prefix + (stem + "_" if stem else "") + suffix
+    return os.path.join(d, name)
+
+
 def compile_tag(train_split: Optional[str], config: Optional[str]) -> Optional[str]:
     """`<split-stem>_<config-stem>` artifact tag (reference run_train.py:44-48)."""
     if train_split is None and config is None:

@@ -31,7 +31,10 @@ from audio_sheet_retrieval_tpu.utils import io as uio
 
 
 def load_any_checkpoint(path: str, cfg: ModelConfig) -> ModelParams:
-    """Load a native pytree checkpoint or a reference lasagne .pkl."""
+    """Load a native pytree checkpoint, a reference lasagne .pkl, or the
+    repo's raw-array .npz asset form of a lasagne checkpoint."""
+    if path.endswith(".npz"):
+        return lasagne_import.load_retrieval_checkpoint(path, cfg)
     with open(path, "rb") as fp:
         payload = pickle.load(fp, encoding="latin1")
     if isinstance(payload, dict) and payload.get("format") == uio.FORMAT_TAG:
