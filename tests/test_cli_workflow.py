@@ -1,0 +1,87 @@
+"""The reference's full experiment workflow through the real CLI entry
+points (train -> eval -> refine_cca -> eval --estimate_UV), mirroring
+train_models.sh / eval_models.sh on the synthetic corpus with a tiny
+registered model. This is the coverage for cli/run_train.py,
+cli/run_eval.py and cli/refine_cca.py as CLIs (the engine itself is
+covered by tests/test_train.py)."""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from audio_sheet_retrieval_tpu.models import configs
+
+
+@pytest.fixture()
+def tiny_model(monkeypatch):
+    cfg = configs.get_model_config(
+        "mutopia_ccal_cont_rsz", num_filters=4, dim_latent=8, batch_size=8,
+        k_samples=32, patience=0, refinement_steps=1, refinement_patience=0,
+        max_epochs=2)
+    cfg = dataclasses.replace(cfg, name="tiny_test")
+    monkeypatch.setitem(configs.MODEL_REGISTRY, "tiny_test", cfg)
+    return cfg
+
+
+@pytest.mark.slow
+def test_train_eval_refine_eval_workflow(tiny_model, tmp_path, capsys):
+    from audio_sheet_retrieval_tpu.cli import refine_cca, run_eval, run_train
+
+    exp_root = str(tmp_path)
+    common = ["--model", "tiny_test", "--data", "synthetic",
+              "--exp_root", exp_root]
+
+    # 1) train (device-resident data path, dump params + results)
+    run_train.main(common + ["--seed", "3"])
+    params_file = os.path.join(exp_root, "tiny_test", "params.pkl")
+    results_file = os.path.join(exp_root, "tiny_test", "results.pkl")
+    assert os.path.exists(params_file) and os.path.exists(results_file)
+
+    # 2) eval the trained checkpoint, dump the yaml
+    run_eval.main(common + ["--dump_results", "--n_test", "64"])
+    eval_yaml = os.path.join(exp_root, "tiny_test", "eval_S2A.yaml")
+    assert os.path.exists(eval_yaml)
+    with open(eval_yaml) as fp:
+        res = yaml.safe_load(fp)
+    assert 0.0 <= res["map"] <= 1.0
+    assert res["recall_at_k"] and res["med_rank"] >= 1.0
+
+    # 3) refine_cca writes the _est_UV checkpoint next door
+    refine_cca.main(common + ["--n_train", "128"])
+    est_file = os.path.join(exp_root, "tiny_test_est_UV", "params.pkl")
+    assert os.path.exists(est_file)
+
+    # 4) eval the refined checkpoint via --estimate_UV
+    run_eval.main(common + ["--dump_results", "--n_test", "64",
+                            "--estimate_UV"])
+    est_yaml = os.path.join(exp_root, "tiny_test_est_UV", "eval_S2A.yaml")
+    assert os.path.exists(est_yaml)
+
+    # 5) direction flip + max_dim truncation paths execute
+    run_eval.main(common + ["--n_test", "32", "--V2_to_V1", "--max_dim", "4"])
+    out = capsys.readouterr().out
+    assert "Hit Rates" in out or "Median Rank" in out
+
+
+@pytest.mark.slow
+def test_run_train_resume(tiny_model, tmp_path):
+    from audio_sheet_retrieval_tpu.cli import run_train
+    from audio_sheet_retrieval_tpu.models import cca_model
+    from audio_sheet_retrieval_tpu.retrieval.wrapper import load_any_checkpoint
+
+    exp_root = str(tmp_path)
+    common = ["--model", "tiny_test", "--data", "synthetic",
+              "--exp_root", exp_root]
+    run_train.main(common + ["--max_epochs", "1"])
+    params_file = os.path.join(exp_root, "tiny_test", "params.pkl")
+    before = load_any_checkpoint(params_file, tiny_model)
+    run_train.main(common + ["--max_epochs", "1", "--resume"])
+    after = load_any_checkpoint(params_file, tiny_model)
+    # resumed run continued from the dump (weights moved again)
+    b = np.asarray(before.view1["blocks"][0]["w"])
+    a = np.asarray(after.view1["blocks"][0]["w"])
+    assert b.shape == a.shape
+    assert not np.allclose(a, b)
