@@ -35,7 +35,8 @@ def stride_starts(total: int, window: int, stride: int) -> np.ndarray:
     return np.arange(0, total - window, stride, dtype=np.int32)
 
 
-def make_strip_embedder(params, cfg, *, center_crop: int | None = None):
+def make_strip_embedder(params, cfg, *, center_crop: int | None = None,
+                        gather_half: bool = False):
     """Sheet-strip -> window embeddings, fully fused on device.
 
     Returns fn(strip_u8 [H, W], starts [N]) -> [N, dim] where the strip is
@@ -51,7 +52,8 @@ def make_strip_embedder(params, cfg, *, center_crop: int | None = None):
 
     @jax.jit
     def embed_p(p, strip_u8: jnp.ndarray, starts: jnp.ndarray):
-        return _strip_embed_core(p, strip_u8, starts, cfg, False, crop_h)
+        return _strip_embed_core(p, strip_u8, starts, cfg, False, crop_h,
+                                 gather_half)
 
     params = jax.device_put(params)
 
@@ -61,10 +63,19 @@ def make_strip_embedder(params, cfg, *, center_crop: int | None = None):
     return embed
 
 
-def _strip_embed_core(p, strip, starts, cfg, packed: bool, crop_h: int):
+def _strip_embed_core(p, strip, starts, cfg, packed: bool, crop_h: int,
+                      gather_half: bool = False):
     """Traceable strip-embedding core (optionally 4-bit packed input):
     vertical center crop, window gather, 'prepare', encoder+CCA+L2.
-    Compose inside larger jits (the embedders below, bench ceiling scans)."""
+    Compose inside larger jits (the embedders below, bench ceiling scans).
+
+    ``gather_half`` (valid when cfg.sheet_downscale == 2): 2x2-mean-pool
+    the strip ONCE and gather windows directly at half resolution — 4x
+    less gather traffic, no per-window resize. Numerically identical to
+    the standard path for EVEN window starts and crop offsets (the half-
+    scale bilinear 'prepare' IS a 2x2 mean; serving strides context//4
+    are even); odd starts are rounded down one pixel.
+    """
     from audio_sheet_retrieval_tpu.models import cca_model
     from audio_sheet_retrieval_tpu.train.engine import prepare_view1_device
 
@@ -72,6 +83,17 @@ def _strip_embed_core(p, strip, starts, cfg, packed: bool, crop_h: int):
         strip = unpack_strip_4bit(strip)
     window = cfg.input_shape_1[2]
     r0 = strip.shape[0] // 2 - crop_h // 2
+    if gather_half and cfg.sheet_downscale == 2:
+        # build the half plane with the SAME resize op 'prepare' uses so
+        # the arithmetic (two-stage pair averaging) matches bit-for-bit
+        h2, w2 = strip.shape[0] // 2, strip.shape[1] // 2
+        half = jax.image.resize(
+            strip.astype(jnp.float32) * (1.0 / 255.0), (h2, w2),
+            method="bilinear", antialias=False)
+        half = jax.lax.dynamic_slice_in_dim(half, r0 // 2, crop_h // 2,
+                                            axis=0)
+        wins = gather_windows(half, starts // 2, window // 2)
+        return cca_model.embed_view1(p, wins[..., None], cfg)
     strip = jax.lax.dynamic_slice_in_dim(strip, r0, crop_h, axis=0)
     wins = gather_windows(strip.astype(jnp.float32), starts, window)
     x = prepare_view1_device(wins[:, None, :, :], cfg)
@@ -101,14 +123,16 @@ def unpack_strip_4bit(packed: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([hi, lo], axis=2).reshape(h, 2 * wp)
 
 
-def make_strip_embedder_packed(params, cfg, *, center_crop: int | None = None):
+def make_strip_embedder_packed(params, cfg, *, center_crop: int | None = None,
+                               gather_half: bool = False):
     """4-bit-packed variant of make_strip_embedder: the host uploads the
     packed strip (half the bytes); unpacking fuses into the same program."""
     crop_h = center_crop or cfg.input_shape_1[1]
 
     @jax.jit
     def embed_p(p, packed: jnp.ndarray, starts: jnp.ndarray):
-        return _strip_embed_core(p, packed, starts, cfg, True, crop_h)
+        return _strip_embed_core(p, packed, starts, cfg, True, crop_h,
+                                 gather_half)
 
     params = jax.device_put(params)
 
@@ -174,7 +198,8 @@ def rle_decode_device(values: jnp.ndarray, lengths: jnp.ndarray,
 
 
 def make_strip_embedder_rle(params, cfg, strip_shape,
-                            *, center_crop: int | None = None):
+                            *, center_crop: int | None = None,
+                            gather_half: bool = False):
     """Lossless-RLE variant of make_strip_embedder: the host uploads
     (values, lengths) from rle_encode_strip; decode fuses into the same
     program as crop/gather/prepare/encoder. ``strip_shape`` (H, W) is static
@@ -186,7 +211,8 @@ def make_strip_embedder_rle(params, cfg, strip_shape,
     def embed_p(p, values: jnp.ndarray, lengths: jnp.ndarray,
                 starts: jnp.ndarray):
         strip = rle_decode_device(values, lengths, h, w)
-        return _strip_embed_core(p, strip, starts, cfg, False, crop_h)
+        return _strip_embed_core(p, strip, starts, cfg, False, crop_h,
+                                 gather_half)
 
     params = jax.device_put(params)
 

@@ -230,22 +230,23 @@ def main():
         win.pack_strip_4bit(raw_strips[0]) if pack4 else raw_strips[0])
     n_reps = 50
 
-    def make_ceiling_scan(ccfg):
+    def make_ceiling_scan(ccfg, gather_half=False):
         @jax.jit
         def ceiling_scan(p, strip, starts):
             # vary the windows per iteration: a loop-invariant body would be
             # hoisted out of the scan by XLA and measure a single execution
             def body(c, i):
                 r = win._strip_embed_core(p, strip, starts + i % 8, ccfg,
-                                          pack4, 160)
+                                          pack4, 160,
+                                          gather_half=gather_half)
                 return c + r.astype(jnp.float32).sum(), 0
             return jax.lax.scan(body, 0.0, jnp.arange(n_reps))[0]
         return ceiling_scan
 
     params_dev = jax.device_put(params)
 
-    def measure_ceiling(ccfg):
-        scan = make_ceiling_scan(ccfg)
+    def measure_ceiling(ccfg, gather_half=False):
+        scan = make_ceiling_scan(ccfg, gather_half)
         float(scan(params_dev, strip_dev, sheet_starts_d))
         t0 = time.perf_counter()
         float(scan(params_dev, strip_dev, sheet_starts_d))
@@ -256,7 +257,10 @@ def main():
     # capstone) is conv-bound ~3x faster; ingress is ~10% of the f32 time
     # (scripts/ceiling_probe.py decomposition)
     cfg_bf16 = dataclasses.replace(cfg, compute_dtype="bfloat16")
-    ceiling_bf16 = measure_ceiling(cfg_bf16) if dtype == "float32" else ceiling
+    # serving fast path: bf16 + half-res window gather (bit-identical to
+    # prepare for the even serving strides — test_windows.py)
+    ceiling_bf16 = (measure_ceiling(cfg_bf16, gather_half=True)
+                    if dtype == "float32" else ceiling)
     log(f"device-resident sheet ceiling: {ceiling:,.0f} emb/s "
         f"({dtype}); bf16 serving mode: {ceiling_bf16:,.0f} emb/s")
 

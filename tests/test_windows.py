@@ -175,3 +175,23 @@ def test_rle_embedder_bit_identical_to_raw():
         params, cfg, strip.shape, center_crop=160)(
         jnp.asarray(v), jnp.asarray(l), starts))
     np.testing.assert_array_equal(raw, rle)
+
+
+def test_gather_half_bit_identical_for_even_starts():
+    """Half-res gather (2x2-mean strip pooled once, windows gathered at
+    half width) must match the standard gather+prepare path bit-for-bit
+    for even starts when sheet_downscale == 2."""
+    cfg = get_model_config("mutopia_ccal_cont_rsz", num_filters=4,
+                           dim_latent=8)
+    params = cca_model.init_model(jax.random.PRNGKey(1), cfg)
+    params = params._replace(cca=params.cca._replace(
+        U=jnp.eye(cfg.dim_latent), V=jnp.eye(cfg.dim_latent)))
+    rng = np.random.default_rng(9)
+    strip = rng.integers(0, 256, (200, 1600), dtype=np.uint8)
+    starts = jnp.asarray(np.arange(0, 1200, 50, dtype=np.int32))  # even
+    std = np.asarray(windows.make_strip_embedder(
+        params, cfg, center_crop=160)(jnp.asarray(strip), starts))
+    fast = np.asarray(windows.make_strip_embedder(
+        params, cfg, center_crop=160, gather_half=True)(
+        jnp.asarray(strip), starts))
+    np.testing.assert_array_equal(std, fast)
