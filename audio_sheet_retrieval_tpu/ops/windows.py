@@ -197,6 +197,43 @@ def rle_decode_device(values: jnp.ndarray, lengths: jnp.ndarray,
     return values[run_of].reshape(h, w)
 
 
+def rle_bitmap_encode_strip(strip_u8: np.ndarray, pad_to: int = RLE_PAD_RUNS):
+    """LOSSLESS sheet coding tuned for DECODE SPEED: a 1-bit-per-pixel
+    run-start bitmap plus the per-run values.
+
+    Wire cost = 0.125 B/px + runs/px bytes (~0.17 B/px on real engraving —
+    slightly above the (values, lengths) pair coding's 0.14, still 3x under
+    4-bit packing) but the device decode is one bit-unpack, one native
+    cumsum and one value gather — no scatter and no per-pixel binary
+    search, which cost ~0.5 s/strip at 4M px on TPU (the pair coding's
+    searchsorted decode does log2(R) full-size gather passes).
+
+    Returns (bitmap uint8 [ceil(N/8)], values uint8 [R_pad]).
+    """
+    flat = np.asarray(strip_u8, np.uint8).reshape(-1)
+    if flat.size == 0:
+        raise ValueError("empty strip")
+    is_start = np.empty(flat.size, np.uint8)
+    is_start[0] = 1
+    np.not_equal(flat[1:], flat[:-1], out=is_start[1:].view(bool))
+    values = flat[is_start.astype(bool)]
+    r = len(values)
+    r_pad = ((r + pad_to - 1) // pad_to) * pad_to
+    values = np.pad(values, (0, r_pad - r))
+    bitmap = np.packbits(is_start)  # big-endian bit order
+    return bitmap, values
+
+
+def rle_bitmap_decode_device(bitmap: jnp.ndarray, values: jnp.ndarray,
+                             h: int, w: int) -> jnp.ndarray:
+    """Device-side inverse of rle_bitmap_encode_strip -> [h, w] uint8."""
+    n = h * w
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)  # packbits bit order
+    bits = (bitmap[:, None] >> shifts[None, :]) & jnp.uint8(1)
+    run_of = jnp.cumsum(bits.reshape(-1)[:n].astype(jnp.int32)) - 1
+    return values[run_of].reshape(h, w)
+
+
 def make_strip_embedder_rle(params, cfg, strip_shape,
                             *, center_crop: int | None = None,
                             gather_half: bool = False):
@@ -218,6 +255,119 @@ def make_strip_embedder_rle(params, cfg, strip_shape,
 
     def embed(values, lengths, starts):
         return embed_p(params, values, lengths, starts)
+
+    return embed
+
+
+def make_strip_embedder_rle_batched(params, cfg, strip_shape,
+                                    *, center_crop: int | None = None,
+                                    gather_half: bool = False):
+    """Corpus-batched RLE variant: ALL pieces' (values, lengths) payloads
+    are stacked to [P, R] and uploaded in ONE transfer each; per-piece
+    embedding selects its row on device. On high-latency links (tunneled
+    hosts) this amortizes the per-transfer RPC cost that dominates when
+    compressed payloads are small — same per-piece compute as
+    make_strip_embedder_rle."""
+    crop_h = center_crop or cfg.input_shape_1[1]
+    h, w = int(strip_shape[0]), int(strip_shape[1])
+
+    @jax.jit
+    def embed_p(p, vals_all, lens_all, idx, starts):
+        v = jax.lax.dynamic_index_in_dim(vals_all, idx, keepdims=False)
+        l = jax.lax.dynamic_index_in_dim(lens_all, idx, keepdims=False)
+        strip = rle_decode_device(v, l, h, w)
+        return _strip_embed_core(p, strip, starts, cfg, False, crop_h,
+                                 gather_half)
+
+    params = jax.device_put(params)
+
+    def embed(vals_all, lens_all, idx, starts):
+        return embed_p(params, vals_all, lens_all, jnp.int32(idx), starts)
+
+    return embed
+
+
+def make_audio_embedder_mulaw_batched(params, cfg, processor):
+    """Corpus-batched mu-law variant: all pieces' companded signals stack
+    to [P, S] u8, uploaded once; per-piece embedding indexes its row on
+    device (see make_strip_embedder_rle_batched)."""
+    import functools as _ft
+
+    from audio_sheet_retrieval_tpu.models import cca_model
+    from audio_sheet_retrieval_tpu.train.engine import prepare_view2_device
+
+    window = cfg.input_shape_2[2]
+
+    @_ft.partial(jax.jit, static_argnames=("num_frames",))
+    def embed_p(p, fb, win_fn, signals_all, idx, starts, num_frames: int):
+        signal_u8 = jax.lax.dynamic_index_in_dim(signals_all, idx,
+                                                 keepdims=False)
+        sig = mulaw_decode_device(signal_u8) * (32768.0 / 32767.0)
+        from audio_sheet_retrieval_tpu.ops.audio import _spectrogram_core
+
+        starts_f = (jnp.arange(num_frames) * processor.hop_size
+                    ).astype(jnp.int32)
+        spec = _spectrogram_core(sig, win_fn, fb, starts_f, num_frames,
+                                 processor.frame_size).T
+        wins = gather_windows(spec, starts, window)
+        x = prepare_view2_device(wins[:, None, :, :])
+        return cca_model.embed_view2(p, x, cfg)
+
+    params = jax.device_put(params)
+    fb = processor.filterbank
+    win_arr = processor._window
+
+    def embed(signals_all, idx, starts, num_frames):
+        return embed_p(params, fb, win_arr, signals_all, jnp.int32(idx),
+                       starts, num_frames)
+
+    return embed
+
+
+def make_strip_embedder_rle_bitmap(params, cfg, strip_shape,
+                                   *, center_crop: int | None = None,
+                                   gather_half: bool = False):
+    """Bitmap-RLE strip embedder (see rle_bitmap_encode_strip): fast
+    on-device decode fused with crop/gather/prepare/encoder."""
+    crop_h = center_crop or cfg.input_shape_1[1]
+    h, w = int(strip_shape[0]), int(strip_shape[1])
+
+    @jax.jit
+    def embed_p(p, bitmap, values, starts):
+        strip = rle_bitmap_decode_device(bitmap, values, h, w)
+        return _strip_embed_core(p, strip, starts, cfg, False, crop_h,
+                                 gather_half)
+
+    params = jax.device_put(params)
+
+    def embed(bitmap, values, starts):
+        return embed_p(params, bitmap, values, starts)
+
+    return embed
+
+
+def make_strip_embedder_rle_bitmap_batched(params, cfg, strip_shape,
+                                           *, center_crop: int | None = None,
+                                           gather_half: bool = False):
+    """Corpus-batched bitmap-RLE embedder: stacked [P, N/8] bitmaps +
+    [P, R] values upload in one transfer each; per-piece embeds select
+    their row on device (amortizes per-transfer RPC latency)."""
+    crop_h = center_crop or cfg.input_shape_1[1]
+    h, w = int(strip_shape[0]), int(strip_shape[1])
+
+    @jax.jit
+    def embed_p(p, bitmaps_all, values_all, idx, starts):
+        bm = jax.lax.dynamic_index_in_dim(bitmaps_all, idx, keepdims=False)
+        v = jax.lax.dynamic_index_in_dim(values_all, idx, keepdims=False)
+        strip = rle_bitmap_decode_device(bm, v, h, w)
+        return _strip_embed_core(p, strip, starts, cfg, False, crop_h,
+                                 gather_half)
+
+    params = jax.device_put(params)
+
+    def embed(bitmaps_all, values_all, idx, starts):
+        return embed_p(params, bitmaps_all, values_all, jnp.int32(idx),
+                       starts)
 
     return embed
 

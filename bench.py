@@ -18,10 +18,11 @@ Env knobs:
   ASR_BENCH_PIECES  number of benchmark pieces (default 24)
   ASR_BENCH_SECS    audio seconds per piece (default 60)
   ASR_BENCH_WIDTH   strip width px per piece (default 20000)
-  ASR_BENCH_SHEET   rle (default): LOSSLESS run-length sheet upload with
-                    on-device decode — bit-identical embeddings at ~0.03-0.2
-                    B/px | pack4: lossy 4-bit (cosine >= 0.99996, 0.5 B/px)
-                    | raw: uint8
+  ASR_BENCH_SHEET   rle (default): LOSSLESS bitmap run-length sheet upload
+                    with fast on-device decode — bit-identical embeddings at
+                    ~0.17-0.23 B/px | rlepairs: (values, lengths) coding,
+                    smaller wire but ~0.5 s/strip decode | pack4: lossy
+                    4-bit (cosine >= 0.99996, 0.5 B/px) | raw: uint8
   ASR_BENCH_PACK4   legacy alias: =0 selects raw when ASR_BENCH_SHEET unset
   ASR_BENCH_MULAW   1 (default): upload audio mu-law companded to 8 bits
                     (A/B on the reference checkpoint + reference recording:
@@ -126,6 +127,9 @@ def main():
         embed_strip = win.make_strip_embedder_packed(params, cfg,
                                                      center_crop=160)
     elif sheet_mode == "rle":
+        embed_strip = win.make_strip_embedder_rle_bitmap(
+            params, cfg, (200, width), center_crop=160)
+    elif sheet_mode == "rlepairs":
         embed_strip = win.make_strip_embedder_rle(params, cfg, (200, width),
                                                   center_crop=160)
     else:
@@ -161,6 +165,15 @@ def main():
         strips = [win.pack_strip_4bit(s_) for s_ in raw_strips]
         sheet_bytes = [s_.nbytes for s_ in strips]
     elif sheet_mode == "rle":
+        # bitmap coding: decode is one cumsum + one gather (the pair coding
+        # "rlepairs" is ~20% smaller on the wire but its searchsorted
+        # decode costs ~0.5 s/strip on TPU — decode speed wins here)
+        strips = [win.rle_bitmap_encode_strip(s_) for s_ in raw_strips]
+        r_max = max(v.shape[0] for _, v in strips)
+        strips = [(bm, np.pad(v, (0, r_max - v.shape[0])))
+                  for bm, v in strips]
+        sheet_bytes = [bm.nbytes + v.nbytes for bm, v in strips]
+    elif sheet_mode == "rlepairs":
         strips = [win.rle_encode_strip(s_) for s_ in raw_strips]
         # pad every piece to the same run count -> single compile
         r_max = max(v.shape[0] for v, _ in strips)
@@ -181,8 +194,23 @@ def main():
     if mulaw:
         audios = [win.mulaw_encode(a) for a in audios]
 
+    # batched upload (default with rle+mulaw): ALL pieces' payloads stack
+    # into 3 arrays uploaded once per pass — per-transfer RPC latency on
+    # the tunneled link otherwise dominates once payloads are compressed
+    # small (measured: 3.5 MB/s effective from ~1 MB transfers vs ~30 MB/s
+    # raw link). Each piece is still embedded by its own dispatch.
+    batch_upload = (os.environ.get("ASR_BENCH_BATCH_UPLOAD", "1") == "1"
+                    and sheet_mode == "rle" and mulaw)
+    if batch_upload:
+        vals_all = np.stack([a for a, _ in strips])   # bitmaps
+        lens_all = np.stack([b for _, b in strips])   # values
+        embed_strip_b = win.make_strip_embedder_rle_bitmap_batched(
+            params, cfg, (200, width), center_crop=160)
+        embed_audio_b = win.make_audio_embedder_mulaw_batched(
+            params, cfg, proc)
+
     def upload_embed_strip(p):
-        if sheet_mode == "rle":
+        if sheet_mode in ("rle", "rlepairs"):
             v, l = strips[p]
             return embed_strip(jnp.asarray(v), jnp.asarray(l),
                                sheet_starts_d)
@@ -194,8 +222,15 @@ def main():
     checksum = jax.jit(lambda xs: sum(jnp.sum(x) for x in xs))
 
     # warmup / compile
-    r1 = upload_embed_strip(0)
-    r2 = embed_audio(jnp.asarray(audios[0]), spec_starts_d, n_frames)
+    if batch_upload:
+        audio_all = np.stack(audios)
+        r1 = embed_strip_b(jnp.asarray(vals_all), jnp.asarray(lens_all), 0,
+                           sheet_starts_d)
+        r2 = embed_audio_b(jnp.asarray(audio_all), 0, spec_starts_d,
+                           n_frames)
+    else:
+        r1 = upload_embed_strip(0)
+        r2 = embed_audio(jnp.asarray(audios[0]), spec_starts_d, n_frames)
     float(checksum([r1, r2]))
 
     # best-of-N: the tunneled link's throughput swings 5-46 MB/s between
@@ -206,10 +241,18 @@ def main():
     for r in range(repeats):
         t0 = time.perf_counter()
         outs = []
-        for p in range(n_pieces):  # async dispatch pipelines upload+compute
-            outs.append(upload_embed_strip(p))
-            outs.append(embed_audio(jnp.asarray(audios[p]), spec_starts_d,
-                                    n_frames))
+        if batch_upload:
+            va = jax.device_put(vals_all)
+            la = jax.device_put(lens_all)
+            aa = jax.device_put(audio_all)
+            for p in range(n_pieces):
+                outs.append(embed_strip_b(va, la, p, sheet_starts_d))
+                outs.append(embed_audio_b(aa, p, spec_starts_d, n_frames))
+        else:
+            for p in range(n_pieces):  # async dispatch pipelines upload+compute
+                outs.append(upload_embed_strip(p))
+                outs.append(embed_audio(jnp.asarray(audios[p]),
+                                        spec_starts_d, n_frames))
         float(checksum(outs))  # forced sync
         dts.append(time.perf_counter() - t0)
         log(f"  pass {r + 1}/{repeats}: {dts[-1]:.2f}s")
@@ -349,8 +392,9 @@ def main():
             "train_updates_per_s_bf16": (round(train_ups_bf16, 1)
                                          if train_ups_bf16 else None),
             "dtype": dtype,
-            "sheet_upload": {"rle": "rle-lossless", "pack4": "4bit-packed"
-                             }.get(sheet_mode, "uint8"),
+            "sheet_upload": {"rle": "rle-bitmap-lossless",
+                             "rlepairs": "rle-pairs-lossless",
+                             "pack4": "4bit-packed"}.get(sheet_mode, "uint8"),
             "sheet_wire_bytes_per_px": round(
                 float(np.mean(sheet_bytes)) / (200 * width), 4),
             "audio_upload": "mulaw-8bit" if mulaw else "int16",

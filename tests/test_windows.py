@@ -195,3 +195,99 @@ def test_gather_half_bit_identical_for_even_starts():
         params, cfg, center_crop=160, gather_half=True)(
         jnp.asarray(strip), starts))
     np.testing.assert_array_equal(std, fast)
+
+
+def test_batched_embedders_match_per_piece_paths():
+    """Corpus-batched upload variants (stacked payloads + on-device row
+    select) must produce identical embeddings to the per-piece embedders."""
+    from audio_sheet_retrieval_tpu.ops.audio import AudioProcessor
+
+    cfg = get_model_config("mutopia_ccal_cont_rsz", num_filters=4,
+                           dim_latent=8)
+    params = cca_model.init_model(jax.random.PRNGKey(2), cfg)
+    params = params._replace(cca=params.cca._replace(
+        U=jnp.eye(cfg.dim_latent), V=jnp.eye(cfg.dim_latent)))
+    rng = np.random.default_rng(4)
+
+    # sheets
+    strips = []
+    for _ in range(3):
+        s = np.full((200, 1000), 255, np.uint8)
+        for x in rng.integers(0, 900, 40):
+            s[rng.integers(20, 170):, x:x + 4][:10] = 0
+        strips.append(s)
+    enc = [windows.rle_encode_strip(s) for s in strips]
+    r_max = max(v.shape[0] for v, _ in enc)
+    enc = [(np.pad(v, (0, r_max - v.shape[0])),
+            np.pad(l, (0, r_max - l.shape[0]))) for v, l in enc]
+    starts = jnp.asarray(np.arange(0, 800, 100, dtype=np.int32))
+    single = windows.make_strip_embedder_rle(params, cfg, (200, 1000),
+                                             center_crop=160)
+    batched = windows.make_strip_embedder_rle_batched(
+        params, cfg, (200, 1000), center_crop=160)
+    va = jnp.asarray(np.stack([v for v, _ in enc]))
+    la = jnp.asarray(np.stack([l for _, l in enc]))
+    for p in range(3):
+        want = np.asarray(single(jnp.asarray(enc[p][0]),
+                                 jnp.asarray(enc[p][1]), starts))
+        got = np.asarray(batched(va, la, p, starts))
+        np.testing.assert_array_equal(want, got)
+
+    # audio
+    proc = AudioProcessor()
+    sr = proc.sample_rate
+    sigs = [(np.sin(2 * np.pi * f * np.arange(sr * 2) / sr) * 8000
+             ).astype(np.int16) for f in (220.0, 440.0)]
+    u8 = np.stack([windows.mulaw_encode(s) for s in sigs])
+    nf = __import__("audio_sheet_retrieval_tpu.ops.audio",
+                    fromlist=["num_frames_for"]).num_frames_for(
+        sr * 2, proc.hop_size)
+    astarts = jnp.asarray(np.arange(0, nf - 42, 7, dtype=np.int32)[:4])
+    single_a = windows.make_audio_embedder_mulaw(params, cfg, proc)
+    batched_a = windows.make_audio_embedder_mulaw_batched(params, cfg, proc)
+    for p in range(2):
+        want = np.asarray(single_a(jnp.asarray(u8[p]), astarts, nf))
+        got = np.asarray(batched_a(jnp.asarray(u8), p, astarts, nf))
+        np.testing.assert_array_equal(want, got)
+
+
+def test_rle_bitmap_roundtrip_and_embedder_parity():
+    """Bitmap run-length coding: lossless roundtrip, and the fused bitmap
+    embedder (plain + corpus-batched) matches the raw uint8 path exactly."""
+    rng = np.random.default_rng(13)
+    strips = []
+    for _ in range(2):
+        s = np.full((200, 1100), 255, np.uint8)
+        for x in rng.integers(0, 1000, 60):
+            s[rng.integers(20, 170):, x:x + 5][:12] = rng.integers(0, 90)
+            s[:, x + 5] = 128
+        strips.append(s)
+    for s in strips:
+        bm, v = windows.rle_bitmap_encode_strip(s)
+        out = np.asarray(windows.rle_bitmap_decode_device(
+            jnp.asarray(bm), jnp.asarray(v), *s.shape))
+        np.testing.assert_array_equal(out, s)
+
+    cfg = get_model_config("mutopia_ccal_cont_rsz", num_filters=4,
+                           dim_latent=8)
+    params = cca_model.init_model(jax.random.PRNGKey(5), cfg)
+    params = params._replace(cca=params.cca._replace(
+        U=jnp.eye(cfg.dim_latent), V=jnp.eye(cfg.dim_latent)))
+    starts = jnp.asarray(np.arange(0, 900, 90, dtype=np.int32))
+    raw_embed = windows.make_strip_embedder(params, cfg, center_crop=160)
+    bm_embed = windows.make_strip_embedder_rle_bitmap(
+        params, cfg, strips[0].shape, center_crop=160)
+    enc = [windows.rle_bitmap_encode_strip(s) for s in strips]
+    r_max = max(v.shape[0] for _, v in enc)
+    enc = [(bm, np.pad(v, (0, r_max - v.shape[0]))) for bm, v in enc]
+    batched = windows.make_strip_embedder_rle_bitmap_batched(
+        params, cfg, strips[0].shape, center_crop=160)
+    bms = jnp.asarray(np.stack([bm for bm, _ in enc]))
+    vs = jnp.asarray(np.stack([v for _, v in enc]))
+    for p, s in enumerate(strips):
+        want = np.asarray(raw_embed(jnp.asarray(s), starts))
+        got = np.asarray(bm_embed(jnp.asarray(enc[p][0]),
+                                  jnp.asarray(enc[p][1]), starts))
+        np.testing.assert_array_equal(want, got)
+        got_b = np.asarray(batched(bms, vs, p, starts))
+        np.testing.assert_array_equal(want, got_b)
