@@ -76,13 +76,19 @@ def derive_result_path(param_file: str, prefix: str, suffix: str) -> str:
     (reference run_eval.py:196-212, umc_a2s_server.py:116-118 used string
     replace on '.pkl', which would return the CHECKPOINT path itself — and
     overwrite it on dump — for .npz/orbax parameter files)."""
-    d, base = os.path.split(param_file)
+    d, base = os.path.split(os.path.abspath(param_file))
     stem = os.path.splitext(base)[0]
     if stem.startswith("params_"):
         stem = stem[len("params_"):]
     elif stem == "params":
         stem = ""
     name = prefix + (stem + "_" if stem else "") + suffix
+    # never write results into the installed package (vendored-asset
+    # checkpoints): results for those go to the current directory
+    from audio_sheet_retrieval_tpu.assets import assets_dir
+
+    if os.path.commonpath([d, assets_dir()]) == assets_dir():
+        d = os.getcwd()
     return os.path.join(d, name)
 
 

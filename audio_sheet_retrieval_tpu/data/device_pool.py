@@ -147,11 +147,17 @@ class DevicePool:
         shuffle: bool = True,
         mesh=None,
         data_axis: str = "data",
+        host_only: bool = False,
     ):
         """``mesh``: shard assembled batches (and everything downstream)
         over the mesh's ``data_axis`` — the dataset arrays are replicated
         across chips and each chip assembles its share of every batch
-        (batch_size must divide by the axis size)."""
+        (batch_size must divide by the axis size).
+
+        ``host_only``: keep strip/spec as host numpy arrays (no device
+        transfer) — for callers that only use the entity arithmetic and
+        place the data themselves (parallel.sharded_pool.from_piece_loader).
+        """
         self.spec_context = spec_context
         self.sheet_context = sheet_context
         self.staff_height = staff_height
@@ -238,6 +244,10 @@ class DevicePool:
             self.spec = jax.device_put(big_spec, replicated)
             self._idx_sharding = NamedSharding(mesh, P(data_axis))
             self._mat_sharding = NamedSharding(mesh, P(None, data_axis))
+        elif host_only:
+            self.strip = big_strip
+            self.spec = big_spec
+            self._idx_sharding = self._mat_sharding = None
         else:
             self.strip = jax.device_put(big_strip)
             self.spec = jax.device_put(big_spec)

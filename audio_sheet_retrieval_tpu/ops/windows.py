@@ -291,27 +291,13 @@ def make_audio_embedder_mulaw_batched(params, cfg, processor):
     """Corpus-batched mu-law variant: all pieces' companded signals stack
     to [P, S] u8, uploaded once; per-piece embedding indexes its row on
     device (see make_strip_embedder_rle_batched)."""
-    import functools as _ft
 
-    from audio_sheet_retrieval_tpu.models import cca_model
-    from audio_sheet_retrieval_tpu.train.engine import prepare_view2_device
-
-    window = cfg.input_shape_2[2]
-
-    @_ft.partial(jax.jit, static_argnames=("num_frames",))
+    @functools.partial(jax.jit, static_argnames=("num_frames",))
     def embed_p(p, fb, win_fn, signals_all, idx, starts, num_frames: int):
         signal_u8 = jax.lax.dynamic_index_in_dim(signals_all, idx,
                                                  keepdims=False)
-        sig = mulaw_decode_device(signal_u8) * (32768.0 / 32767.0)
-        from audio_sheet_retrieval_tpu.ops.audio import _spectrogram_core
-
-        starts_f = (jnp.arange(num_frames) * processor.hop_size
-                    ).astype(jnp.int32)
-        spec = _spectrogram_core(sig, win_fn, fb, starts_f, num_frames,
-                                 processor.frame_size).T
-        wins = gather_windows(spec, starts, window)
-        x = prepare_view2_device(wins[:, None, :, :])
-        return cca_model.embed_view2(p, x, cfg)
+        return _mulaw_audio_embed_core(p, fb, win_fn, signal_u8, starts,
+                                       num_frames, cfg, processor)
 
     params = jax.device_put(params)
     fb = processor.filterbank
@@ -450,28 +436,36 @@ def mulaw_decode_device(u8: jnp.ndarray, mu: float = 255.0) -> jnp.ndarray:
     return jnp.sign(y) * jnp.expm1(jnp.abs(y) * jnp.log1p(mu)) * (1.0 / mu)
 
 
+def _mulaw_audio_embed_core(p, fb, win_fn, signal_u8, starts,
+                            num_frames: int, cfg, processor):
+    """Traceable mu-law audio embedding body shared by the per-piece and
+    corpus-batched factories: expand (the decode is /32768-scaled; the raw
+    path divides int16 by 32767) -> spectrogram -> window gather ->
+    encoder+CCA+L2."""
+    from audio_sheet_retrieval_tpu.models import cca_model
+    from audio_sheet_retrieval_tpu.ops.audio import _spectrogram_core
+    from audio_sheet_retrieval_tpu.train.engine import prepare_view2_device
+
+    window = cfg.input_shape_2[2]
+    sig = mulaw_decode_device(signal_u8) * (32768.0 / 32767.0)
+    starts_f = (jnp.arange(num_frames) * processor.hop_size
+                ).astype(jnp.int32)
+    spec = _spectrogram_core(sig, win_fn, fb, starts_f, num_frames,
+                             processor.frame_size).T
+    wins = gather_windows(spec, starts, window)
+    x = prepare_view2_device(wins[:, None, :, :])
+    return cca_model.embed_view2(p, x, cfg)
+
+
 def make_audio_embedder_mulaw(params, cfg, processor):
     """mu-law variant of make_audio_embedder: the host uploads 8-bit
     companded samples (half the bytes); expansion + DSP + encoder stay one
     jitted program."""
-    from audio_sheet_retrieval_tpu.models import cca_model
-    from audio_sheet_retrieval_tpu.train.engine import prepare_view2_device
-
-    window = cfg.input_shape_2[2]
 
     @functools.partial(jax.jit, static_argnames=("num_frames",))
     def embed_p(p, fb, win_fn, signal_u8, starts, num_frames: int):
-        # decode is /32768-scaled; the raw path divides int16 by 32767
-        sig = mulaw_decode_device(signal_u8) * (32768.0 / 32767.0)
-        from audio_sheet_retrieval_tpu.ops.audio import _spectrogram_core
-
-        starts_f = (jnp.arange(num_frames) * processor.hop_size
-                    ).astype(jnp.int32)
-        spec = _spectrogram_core(sig, win_fn, fb, starts_f, num_frames,
-                                 processor.frame_size).T
-        wins = gather_windows(spec, starts, window)
-        x = prepare_view2_device(wins[:, None, :, :])
-        return cca_model.embed_view2(p, x, cfg)
+        return _mulaw_audio_embed_core(p, fb, win_fn, signal_u8, starts,
+                                       num_frames, cfg, processor)
 
     params = jax.device_put(params)
     fb = processor.filterbank

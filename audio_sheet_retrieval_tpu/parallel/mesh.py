@@ -61,6 +61,10 @@ def make_hybrid_mesh(ici_shape: Tuple[int, ...],
         dev_array = mesh_utils.create_hybrid_device_mesh(
             ici_shape, dcn_shape, devices=devices)
     except Exception:
+        if devices[0].platform != "cpu":
+            # on real hardware a silent reshape would put bandwidth-hungry
+            # axes across DCN — exactly what this function exists to avoid
+            raise
         shape = tuple(i * d for i, d in zip(ici_shape, dcn_shape))
         dev_array = np.asarray(devices).reshape(shape)
     return Mesh(dev_array, axis_names=tuple(axis_names))

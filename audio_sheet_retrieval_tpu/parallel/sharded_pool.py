@@ -191,12 +191,19 @@ class ShardedDevicePool:
         mesh_devs = np.moveaxis(mesh.devices, ax_index, 0).reshape(D, -1)
         my_process = jax.process_index()
 
-        local = {}  # shard -> (pool, device)
+        # A process participates in shard d when ANY device of that mesh
+        # row is addressable from it (a non-data axis may cross hosts, in
+        # which case every host in the row builds the same shard and puts
+        # buffers only on its own devices). The pieces load through a
+        # host_only DevicePool (single source of the entity arithmetic, no
+        # device round-trip) and only the flat numpy shard arrays are kept.
+        local = {}  # shard -> {"strip","spec","coords","onsets","my_devs"}
         n_ent_total = 0
         h_ = w_ = t_ = n_ = b_ = 0
         for d in range(D):
-            dev = mesh_devs[d][0]
-            if dev.process_index != my_process:
+            my_devs = [dev for dev in mesh_devs[d]
+                       if dev.process_index == my_process]
+            if not my_devs:
                 continue
             pieces = [piece_loader(i) for i in groups[d]]
             p = DevicePool(
@@ -206,14 +213,22 @@ class ShardedDevicePool:
                 spec_context=spec_context, sheet_context=sheet_context,
                 staff_height=staff_height,
                 data_augmentation=data_augmentation, rng=self.rng,
-                shuffle=False, mesh=None)
-            local[d] = (p, dev)
+                shuffle=False, mesh=None, host_only=True)
+            local[d] = {
+                "strip": np.asarray(p.strip), "spec": np.asarray(p.spec),
+                "coords": p.entity_coords, "onsets": p.entity_onsets,
+                "n_ent": p.shape[0], "my_devs": my_devs,
+            }
             h_ = max(h_, p.strip_h)
-            w_ = max(w_, np.asarray(p.strip).shape[1])
-            t_ = max(t_, np.asarray(p.spec).shape[1])
+            w_ = max(w_, local[d]["strip"].shape[1])
+            t_ = max(t_, local[d]["spec"].shape[1])
             n_ = max(n_, p.shape[0])
             b_ = p.bins
-            n_ent_total += p.shape[0]
+            # only rows whose FIRST device is ours count toward the global
+            # entity total (rows shared across hosts are built redundantly)
+            if mesh_devs[d][0].process_index == my_process:
+                n_ent_total += p.shape[0]
+            del p, pieces
 
         # agree on global padded dims + total entity count across processes
         dims = multihost_utils.process_allgather(
@@ -239,31 +254,30 @@ class ShardedDevicePool:
         }
 
         def shard_arrays(d):
-            p, _ = local[d]
-            s = np.asarray(p.strip)
-            sp = np.asarray(p.spec)
+            sh = local[d]
+            s, sp = sh["strip"], sh["spec"]
             strip_pad = np.full((strip_h, w_max), 255, np.uint8)
             strip_pad[:s.shape[0], :s.shape[1]] = s
             spec_pad = np.zeros((bins, t_max), np.float32)
             spec_pad[:, :sp.shape[1]] = sp
-            fill = np.resize(np.arange(p.shape[0]), n_max)
+            fill = np.resize(np.arange(sh["n_ent"]), n_max)
             return {"strip": strip_pad, "spec": spec_pad,
-                    "coords_plane": p.entity_coords[fill].astype(np.int32),
-                    "onsets_plane": p.entity_onsets[fill].astype(np.int32)}
+                    "coords_plane": sh["coords"][fill].astype(np.int32),
+                    "onsets_plane": sh["onsets"][fill].astype(np.int32)}
 
         per_shard = {d: shard_arrays(d) for d in local}
         for name, (sharding, shape, dtype, _fill) in specs.items():
             bufs = []
-            for d, (_p, _dev) in local.items():
+            for d, sh in local.items():
                 # a shard row replicates across any non-data mesh axes:
-                # provide a buffer on every device of that mesh row
-                for dev in mesh_devs[d]:
-                    if dev.process_index == my_process:
-                        bufs.append(
-                            jax.device_put(per_shard[d][name][None], dev))
+                # this process provides buffers for ITS devices in the row
+                for dev in sh["my_devs"]:
+                    bufs.append(
+                        jax.device_put(per_shard[d][name][None], dev))
             arr = jax.make_array_from_single_device_arrays(
                 shape, sharding, bufs)
             setattr(self, name, arr)
+        del per_shard, local
 
         self._finish_init(mesh, data_axis, sheet_context, staff_height,
                           spec_context, strip_h, bins, data_augmentation)

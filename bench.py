@@ -122,6 +122,10 @@ def main():
     if os.environ.get("ASR_BENCH_PACK4") == "0" and "ASR_BENCH_SHEET" \
             not in os.environ:
         sheet_mode = "raw"
+    if sheet_mode not in ("rle", "rlepairs", "pack4", "raw"):
+        raise SystemExit(
+            f"unknown ASR_BENCH_SHEET={sheet_mode!r} "
+            "(expected rle | rlepairs | pack4 | raw)")
     pack4 = sheet_mode == "pack4"
     if sheet_mode == "pack4":
         embed_strip = win.make_strip_embedder_packed(params, cfg,

@@ -14,7 +14,7 @@ per config, scalar download only):
   5. gather+prepare only (no encoder): isolates the window-ingress cost so
      the conv/gather split is measured, not guessed.
 
-Usage: python scripts/ceiling_probe.py [reps] [n_windows]
+Usage: python scripts/ceiling_probe.py [reps]
 """
 
 from __future__ import annotations

@@ -91,7 +91,7 @@ class Performance:
         self.key = key
         n_notes = N_PAGES * SYSTEMS_PER_PAGE * NOTES_PER_SYSTEM
         rng = np.random.default_rng(
-            _seed_for(piece.root, piece.name) ^ hash(key) & 0xFFFFFFFF)
+            _seed_for(piece.root, piece.name) ^ _seed_for("perf", key))
         # one event per notehead, onsets spaced by 0.4s scaled by tempo
         onsets = np.arange(n_notes) * (0.4 / tempo)
         pitches = rng.integers(40, 90, size=n_notes)

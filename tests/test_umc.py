@@ -82,7 +82,9 @@ def test_umc_a2s_server_full_eval(umc_dataset, tmp_path):
     assert all(1 <= r <= 2 for r in ranks)
     assert os.path.exists(db_file)
     # yaml rank dump written under the reference naming convention, safely
-    # derived for a non-.pkl checkpoint (config.derive_result_path)
+    # derived for a non-.pkl checkpoint; vendored-asset checkpoints dump to
+    # the cwd instead of the package dir (config.derive_result_path)
+    from audio_sheet_retrieval_tpu import assets as _a
     from audio_sheet_retrieval_tpu import config as cfg_mod
     import yaml
 
@@ -90,7 +92,8 @@ def test_umc_a2s_server_full_eval(umc_dataset, tmp_path):
     res_file = cfg_mod.derive_result_path(
         param_file, "umc_retrieval_", "%s_A2S.yaml" % dset)
     assert res_file != param_file
+    assert not os.path.dirname(res_file).startswith(_a.assets_dir())
     assert os.path.exists(res_file)
     with open(res_file) as fp:
         assert yaml.safe_load(fp) == list(ranks)
-    os.remove(res_file)  # keep the assets dir clean
+    os.remove(res_file)
