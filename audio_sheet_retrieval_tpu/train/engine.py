@@ -195,7 +195,12 @@ def fit(
     XLA derives the gradient all-reduce and the cross-chip CCA batch
     statistics (there is no reference analog; the reference is single-GPU).
     """
-    os.makedirs(out_path, exist_ok=True)
+    # on multi-host meshes only process 0 writes artifacts (checkpoints,
+    # results curves) — every process computes identically under SPMD, and
+    # concurrent writers on a shared filesystem would race
+    is_writer = jax.process_index() == 0
+    if is_writer:
+        os.makedirs(out_path, exist_ok=True)
     if log_file is None:
         log_file = os.path.join(out_path, "results.pkl")
     num_epochs = num_epochs or cfg.max_epochs
@@ -426,7 +431,7 @@ def fit(
                 best_epoch = epoch_idx
                 best_model = jax.tree.map(lambda x: x, params_now)
                 best_opt_state = jax.tree.map(lambda x: x, state.opt_state)
-                if dump_file is not None:
+                if dump_file is not None and is_writer:
                     uio.save_pytree(dump_file, best_model,
                                     meta={"model": cfg.name,
                                           "epoch": epoch_idx})
@@ -456,7 +461,8 @@ def fit(
                          ("map_tr", map_tr), ("map_val", map_va),
                          ("evals_tr", corr_mean), ("lr", learn_rate)):
                 curves[k].append(v)
-            uio.save_results(log_file, curves)
+            if is_writer:
+                uio.save_results(log_file, curves)
 
             if on_epoch is not None:
                 on_epoch(dict(number=epoch_idx, train_loss=tr_loss,
