@@ -155,6 +155,12 @@ def rle_encode_strip(strip_u8: np.ndarray, pad_to: int = RLE_PAD_RUNS):
     page and 0.03 B/px on rendered score strips, vs 0.5 B/px for the lossy
     4-bit packing — a 3-20x wire reduction with bit-identical pixels.
 
+    Trade-off: this is the most compact coding but its device decode runs
+    a per-pixel binary search (~0.5 s at 4M px on TPU). The default
+    serving coding is rle_bitmap_encode_strip — ~20% more wire bytes,
+    >10x faster decode. Use the pair coding only on bandwidth-starved
+    links where wire dominates decode.
+
     Returns (values [R] uint8, lengths [R] uint16).
     """
     flat = np.asarray(strip_u8, np.uint8).reshape(-1)
