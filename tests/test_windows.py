@@ -291,3 +291,23 @@ def test_rle_bitmap_roundtrip_and_embedder_parity():
         np.testing.assert_array_equal(want, got)
         got_b = np.asarray(batched(bms, vs, p, starts))
         np.testing.assert_array_equal(want, got_b)
+
+
+def test_rle_codecs_edge_shapes():
+    """Degenerate strips: single row/column, alternating pixels (worst
+    case), and all-distinct values roundtrip exactly through both codings."""
+    cases = [
+        np.full((1, 7), 3, np.uint8),
+        np.full((5, 1), 250, np.uint8),
+        np.tile(np.array([[0, 255]], np.uint8), (4, 8)),   # alternating
+        np.arange(256, dtype=np.uint8).reshape(16, 16),    # all distinct
+    ]
+    for s in cases:
+        v, l = windows.rle_encode_strip(s)
+        out = np.asarray(windows.rle_decode_device(
+            jnp.asarray(v), jnp.asarray(l), *s.shape))
+        np.testing.assert_array_equal(out, s)
+        bm, vals = windows.rle_bitmap_encode_strip(s)
+        out2 = np.asarray(windows.rle_bitmap_decode_device(
+            jnp.asarray(bm), jnp.asarray(vals), *s.shape))
+        np.testing.assert_array_equal(out2, s)
