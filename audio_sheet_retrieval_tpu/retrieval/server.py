@@ -193,6 +193,55 @@ class AudioSheetServer:
               % (self.sheet_snippet_codes.shape[0], len(pieces)))
         self._refresh_sheet_gallery()
 
+    def initialize_sheet_db_from_imges_device(
+            self, pieces: Sequence[str], scores: Sequence[np.ndarray],
+            *, width_bucket: int = 4096) -> None:
+        """Fast-path sheet DB build: each unrolled strip uploads ONCE
+        (lossless bitmap-RLE), sliding windows + embedding run fused on
+        device, and the codes stay device-resident — no per-window upload
+        and no embedding download (the serving-bench ingest path, ~4-10x
+        less wire + no dispatch-degrading round trip vs the host loop in
+        initialize_sheet_db_from_imges; downloads happen only in
+        save_sheet_db_file). Strip widths are padded to ``width_bucket``
+        multiples so the fused program compiles once per bucket."""
+        import jax.numpy as jnp
+
+        from audio_sheet_retrieval_tpu.ops import windows as win
+
+        print("Initializing sheet music db (device-resident) ...")
+        wrapper = self.embed_network
+        h, w = self.sheet_shape
+        codes, ids = [], []
+        self.id_to_piece = {}
+        embedders = {}
+        for piece_idx, piece in enumerate(pieces):
+            self.id_to_piece[piece_idx] = piece
+            image = np.asarray(scores[piece_idx], np.uint8)
+            starts = np.arange(0, image.shape[1] - w, w // 4,
+                               dtype=np.int32)
+            wb = max(1, int(np.ceil(image.shape[1] / width_bucket))
+                     ) * width_bucket
+            strip_pad = np.full((image.shape[0], wb), 255, np.uint8)
+            strip_pad[:, :image.shape[1]] = image
+            bm, vals = win.rle_bitmap_encode_strip(strip_pad)
+            n_max = len(win.stride_starts(wb, w, w // 4))
+            starts_pad = np.zeros(n_max, np.int32)
+            starts_pad[:len(starts)] = starts
+            key = (image.shape[0], wb, vals.shape[0], n_max)
+            if key not in embedders:
+                embedders[key] = win.make_strip_embedder_rle_bitmap(
+                    wrapper.params, wrapper.cfg, (image.shape[0], wb),
+                    center_crop=h)
+            c = embedders[key](jnp.asarray(bm), jnp.asarray(vals),
+                               jnp.asarray(starts_pad))
+            codes.append(c[:len(starts)])
+            ids.append(np.full(len(starts), piece_idx, np.int64))
+        self.sheet_snippet_codes = jnp.concatenate(codes)
+        self.sheet_snippet_ids = np.concatenate(ids)
+        print("%s sheet snippet codes of %d pieces collected (device)"
+              % (self.sheet_snippet_codes.shape[0], len(pieces)))
+        self._refresh_sheet_gallery()
+
     def initialize_audio_db_from_specs(self, pieces: Sequence[str],
                                        spectrograms: Sequence[np.ndarray],
                                        keep_snippets: bool = False) -> None:
@@ -219,7 +268,8 @@ class AudioSheetServer:
     def save_sheet_db_file(self, path: str) -> None:
         print("Dumping sheet db codes ...")
         with open(path, "wb") as fp:
-            pickle.dump([self.sheet_snippet_codes, self.sheet_snippet_ids,
+            pickle.dump([np.asarray(self.sheet_snippet_codes),
+                         self.sheet_snippet_ids,
                          self.id_to_piece, self.sheet_snippets], fp)
 
     def load_sheet_db_file(self, path: str) -> None:
@@ -232,7 +282,8 @@ class AudioSheetServer:
     def save_audio_db_file(self, path: str) -> None:
         print("Dumping audio db codes ...")
         with open(path, "wb") as fp:
-            pickle.dump([self.perform_excerpt_codes, self.perform_excerpt_ids,
+            pickle.dump([np.asarray(self.perform_excerpt_codes),
+                         self.perform_excerpt_ids,
                          self.id_to_perform, self.perform_excerpts], fp)
 
     def load_audio_db_file(self, path: str) -> None:

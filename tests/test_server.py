@@ -227,3 +227,40 @@ def test_detect_performance_from_sheet_matches_host_chain(setup):
     key = srv2._fused_sheet_query_key
     srv2.detect_performance_from_sheet(images[2], top_k=2, n_candidates=5)
     assert srv2._fused_sheet_query_key == key
+
+
+def test_device_resident_sheet_db_matches_host_build(setup):
+    """initialize_sheet_db_from_imges_device (strip uploaded once via
+    bitmap-RLE, codes stay on device) must agree with the host window-loop
+    build: near-identical codes (folded vs unfolded eval paths) and the
+    same retrieval behavior; save/load round-trips the device codes."""
+    import tempfile
+
+    srv, names, images, specs = setup
+    host = AudioSheetServer()
+    host.initialize_embedding_network(srv.embed_network)
+    host.initialize_sheet_db_from_imges(names, images)
+
+    dev = AudioSheetServer()
+    dev.initialize_embedding_network(srv.embed_network)
+    dev.initialize_sheet_db_from_imges_device(names, images)
+
+    assert dev.sheet_snippet_codes.shape == host.sheet_snippet_codes.shape
+    np.testing.assert_array_equal(dev.sheet_snippet_ids,
+                                  host.sheet_snippet_ids)
+    cos = np.sum(np.asarray(dev.sheet_snippet_codes)
+                 * np.asarray(host.sheet_snippet_codes), axis=1)
+    assert cos.min() > 0.9999  # folded-vs-unfolded eval tolerance
+
+    r_host, _ = host.detect_score(specs[2][0], top_k=3, n_candidates=5)
+    r_dev, _ = dev.detect_score(specs[2][0], top_k=3, n_candidates=5)
+    assert r_dev[0] == r_host[0]
+
+    with tempfile.NamedTemporaryFile(suffix=".pkl") as tf:
+        dev.save_sheet_db_file(tf.name)
+        srv3 = AudioSheetServer()
+        srv3.initialize_embedding_network(srv.embed_network)
+        srv3.load_sheet_db_file(tf.name)
+        assert isinstance(srv3.sheet_snippet_codes, np.ndarray)
+        np.testing.assert_allclose(srv3.sheet_snippet_codes,
+                                   np.asarray(dev.sheet_snippet_codes))
