@@ -242,6 +242,50 @@ class AudioSheetServer:
               % (self.sheet_snippet_codes.shape[0], len(pieces)))
         self._refresh_sheet_gallery()
 
+    def initialize_audio_db_from_specs_device(
+            self, pieces: Sequence[str],
+            spectrograms: Sequence[np.ndarray],
+            *, frames_bucket: int = 1024) -> None:
+        """Device-resident audio-DB mirror of
+        initialize_sheet_db_from_imges_device: each full spectrogram
+        uploads once, sliding windows + embedding run fused on device,
+        codes stay device-resident."""
+        import jax.numpy as jnp
+
+        from audio_sheet_retrieval_tpu.ops import windows as win
+
+        print("Initializing audio db (device-resident) ...")
+        wrapper = self.embed_network
+        bins, ctx = self.spec_shape
+        codes, ids = [], []
+        self.id_to_perform = {}
+        embedders = {}
+        for piece_idx, piece in enumerate(pieces):
+            self.id_to_perform[piece_idx] = piece
+            spec = np.asarray(spectrograms[piece_idx], np.float32)
+            starts = np.arange(0, spec.shape[1] - ctx, ctx // 4,
+                               dtype=np.int32)
+            tb = max(1, int(np.ceil(spec.shape[1] / frames_bucket))
+                     ) * frames_bucket
+            spec_pad = np.zeros((bins, tb), np.float32)
+            spec_pad[:, :spec.shape[1]] = spec
+            n_max = len(win.stride_starts(tb, ctx, ctx // 4))
+            starts_pad = np.zeros(n_max, np.int32)
+            starts_pad[:len(starts)] = starts
+            key = (bins, tb, n_max)
+            if key not in embedders:
+                embedders[key] = win.make_spec_embedder(wrapper.params,
+                                                        wrapper.cfg)
+            c = embedders[key](jnp.asarray(spec_pad),
+                               jnp.asarray(starts_pad))
+            codes.append(c[:len(starts)])
+            ids.append(np.full(len(starts), piece_idx, np.int64))
+        self.perform_excerpt_codes = jnp.concatenate(codes)
+        self.perform_excerpt_ids = np.concatenate(ids)
+        print("%s audio excerpts of %d pieces collected (device)"
+              % (self.perform_excerpt_codes.shape[0], len(pieces)))
+        self._refresh_audio_gallery()
+
     def initialize_audio_db_from_specs(self, pieces: Sequence[str],
                                        spectrograms: Sequence[np.ndarray],
                                        keep_snippets: bool = False) -> None:

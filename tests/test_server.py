@@ -264,3 +264,24 @@ def test_device_resident_sheet_db_matches_host_build(setup):
         assert isinstance(srv3.sheet_snippet_codes, np.ndarray)
         np.testing.assert_allclose(srv3.sheet_snippet_codes,
                                    np.asarray(dev.sheet_snippet_codes))
+
+
+def test_device_resident_audio_db_matches_host_build(setup):
+    srv, names, images, specs = setup
+    host = AudioSheetServer()
+    host.initialize_embedding_network(srv.embed_network)
+    host.initialize_audio_db_from_specs(names, [s[0] for s in specs])
+
+    dev = AudioSheetServer()
+    dev.initialize_embedding_network(srv.embed_network)
+    dev.initialize_audio_db_from_specs_device(names, [s[0] for s in specs])
+
+    assert dev.perform_excerpt_codes.shape == host.perform_excerpt_codes.shape
+    np.testing.assert_array_equal(dev.perform_excerpt_ids,
+                                  host.perform_excerpt_ids)
+    cos = np.sum(np.asarray(dev.perform_excerpt_codes)
+                 * np.asarray(host.perform_excerpt_codes), axis=1)
+    assert cos.min() > 0.9999
+    r_host, _ = host.detect_performance(images[1], top_k=2, n_candidates=5)
+    r_dev, _ = dev.detect_performance(images[1], top_k=2, n_candidates=5)
+    assert r_dev[0] == r_host[0]
