@@ -43,6 +43,9 @@ def build_arg_parser():
     parser.add_argument("--param_file", type=str, default=None)
     parser.add_argument("--omr_models", type=str, default=umc.DEFAULT_OMR_DIR)
     parser.add_argument("--db_file", type=str, default="umc_sheet_db_file.pkl")
+    parser.add_argument("--device_db", action="store_true",
+                        help="device-resident DB build: strips upload once "
+                             "(lossless RLE), embedding fused on device")
     return parser
 
 
@@ -72,7 +75,11 @@ def main(argv=None):
         RetrievalWrapper(model_cfg, param_file=dump_file))
 
     if args.init_sheet_db or not os.path.exists(args.db_file):
-        srv.initialize_sheet_db_from_imges(te_pieces, unwrapped_sheets)
+        if args.device_db:
+            srv.initialize_sheet_db_from_imges_device(te_pieces,
+                                                      unwrapped_sheets)
+        else:
+            srv.initialize_sheet_db_from_imges(te_pieces, unwrapped_sheets)
         srv.save_sheet_db_file(args.db_file)
     else:
         srv.load_sheet_db_file(args.db_file)

@@ -56,6 +56,9 @@ def main(argv=None):
     parser.add_argument("--param_file", type=str, default=None)
     parser.add_argument("--omr_models", type=str, default=umc.DEFAULT_OMR_DIR)
     parser.add_argument("--db_file", type=str, default="umc_audio_db_file.pkl")
+    parser.add_argument("--device_db", action="store_true",
+                        help="device-resident DB build (spectrograms "
+                             "upload once, embedding fused on device)")
     args = parser.parse_args(argv)
 
     model_cfg = get_model_config(args.model)
@@ -83,7 +86,11 @@ def main(argv=None):
         RetrievalWrapper(model_cfg, param_file=dump_file))
 
     if args.init_audio_db or not os.path.exists(args.db_file):
-        srv.initialize_audio_db_from_specs(te_pieces, spectrograms)
+        if args.device_db:
+            srv.initialize_audio_db_from_specs_device(te_pieces,
+                                                      spectrograms)
+        else:
+            srv.initialize_audio_db_from_specs(te_pieces, spectrograms)
         srv.save_audio_db_file(args.db_file)
     else:
         srv.load_audio_db_file(args.db_file)

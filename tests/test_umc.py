@@ -77,6 +77,7 @@ def test_umc_a2s_server_full_eval(umc_dataset, tmp_path):
         "--param_file", param_file,
         "--db_file", db_file,
         "--init_sheet_db", "--full_eval", "--dump_results",
+        "--device_db",
     ])
     assert ranks is not None and len(ranks) == 2
     assert all(1 <= r <= 2 for r in ranks)
