@@ -265,8 +265,13 @@ def main():
     total_emb = n_pieces * emb_per_piece
     total_eps = total_emb / dt
     mbps = n_pieces * bytes_per_piece / dt / 1e6
+    # wire-normalized efficiency: the tunneled link swings 3-46 MB/s
+    # between sessions, so embeddings-per-megabyte is the link-independent
+    # serving-protocol metric (round 1 @4-bit lossy: ~155 emb/MB)
+    emb_per_mb = total_emb / (n_pieces * bytes_per_piece / 1e6)
     log(f"end-to-end: {total_emb} embeddings in {dt:.2f}s (best of "
-        f"{repeats}) -> {total_eps:,.0f} emb/s ({mbps:.0f} MB/s raw ingest)")
+        f"{repeats}) -> {total_eps:,.0f} emb/s ({mbps:.0f} MB/s ingest, "
+        f"{emb_per_mb:,.0f} emb/MB wire efficiency)")
 
     # device-resident compute ceiling (batch already in HBM): scan the
     # whole measurement inside ONE dispatch — per-call timing here is
@@ -405,6 +410,7 @@ def main():
         "vs_baseline": round(total_eps / baseline, 2),
         "detail": {
             "raw_ingest_MBps": round(mbps, 1),
+            "emb_per_MB_wire": round(emb_per_mb, 1),
             "device_resident_sheet_emb_per_s": round(ceiling, 1),
             "device_resident_sheet_emb_per_s_bf16": round(ceiling_bf16, 1),
             "piece_id_query_p50_ms": round(p50, 2),
