@@ -25,9 +25,10 @@ def _run_notebook(name):
 
 
 @pytest.mark.slow
-def test_a2a_notebook_executes():
+def test_a2a_notebook_executes(tmp_path, monkeypatch):
     import numpy as np
 
+    monkeypatch.chdir(tmp_path)  # notebooks save figures to the cwd
     ns = _run_notebook("Embedding_Tutorial_Audio_to_Audio.ipynb")
     dists = ns["dists"]
     diag = float(np.diag(dists).mean())
@@ -38,9 +39,10 @@ def test_a2a_notebook_executes():
 
 
 @pytest.mark.slow
-def test_embedding_notebook_executes():
+def test_embedding_notebook_executes(tmp_path, monkeypatch):
     import numpy as np
 
+    monkeypatch.chdir(tmp_path)  # notebooks save figures to the cwd
     ns = _run_notebook("Embedding_Tutorial.ipynb")
     dists = ns["dists"]
     am = np.argmin(dists, axis=0)
