@@ -165,20 +165,33 @@ def make_fused_piece_query(params, cfg, processor, gallery: "DeviceGallery",
 
 def make_fused_sheet_query(params, cfg, gallery: "DeviceGallery",
                            n_pieces: int, *, n_candidates: int = 25,
-                           pack4: bool = True):
+                           pack4: bool = True, coding: str = None,
+                           strip_shape=None):
     """Unrolled sheet strip -> per-performance vote counts, ONE dispatch.
 
     The sheet->audio mirror of make_fused_piece_query (reference
-    detect_performance, audio_sheet_server.py:255-300): 4-bit-packed strip
-    upload, on-device unpack + window slicing + view-1 embedding + audio
+    detect_performance, audio_sheet_server.py:255-300): compressed strip
+    upload, on-device decode + window slicing + view-1 embedding + audio
     gallery top-k + vote histogram in a single jitted program.
+
+    ``coding``: 'rle_bitmap' (LOSSLESS, ~0.17 B/px — query(bitmap, values,
+    starts), needs static ``strip_shape``), 'pack4' (lossy 4-bit,
+    0.5 B/px) or 'raw'; the legacy ``pack4`` bool maps to
+    pack4/raw when ``coding`` is None.
     """
     from audio_sheet_retrieval_tpu.models import cca_model
     from audio_sheet_retrieval_tpu.ops.windows import (
         gather_windows,
+        rle_bitmap_decode_device,
         unpack_strip_4bit,
     )
     from audio_sheet_retrieval_tpu.train.engine import prepare_view1_device
+
+    if coding is None:
+        coding = "pack4" if pack4 else "raw"
+    assert coding in ("rle_bitmap", "pack4", "raw"), coding
+    if coding == "rle_bitmap" and strip_shape is None:
+        raise ValueError("coding='rle_bitmap' needs strip_shape=(H, W)")
 
     h, window = cfg.input_shape_1[1], cfg.input_shape_1[2]
     k = min(n_candidates, gallery.n)
@@ -188,8 +201,16 @@ def make_fused_sheet_query(params, cfg, gallery: "DeviceGallery",
 
     @jax.jit
     def q(p, gal_nt, valid, idtab, strip, starts):
-        if pack4:
+        if coding == "pack4":
             strip = unpack_strip_4bit(strip)
+        return _q_body(p, gal_nt, valid, idtab, strip, starts)
+
+    @jax.jit
+    def q_rle(p, gal_nt, valid, idtab, bitmap, values, starts):
+        strip = rle_bitmap_decode_device(bitmap, values, *strip_shape)
+        return _q_body(p, gal_nt, valid, idtab, strip, starts)
+
+    def _q_body(p, gal_nt, valid, idtab, strip, starts):
         r0 = strip.shape[0] // 2 - h // 2
         strip = jax.lax.dynamic_slice_in_dim(strip, r0, h, axis=0)
         wins = gather_windows(strip.astype(jnp.float32), starts, window)
@@ -204,6 +225,14 @@ def make_fused_sheet_query(params, cfg, gallery: "DeviceGallery",
         return jnp.sum(pid[..., None] == jnp.arange(n_pieces), axis=(0, 1))
 
     params = jax.device_put(params)
+
+    if coding == "rle_bitmap":
+        def query(bitmap, values, starts):
+            """bitmap: [ceil(H*W/8)] u8, values: [R] u8
+            (ops.windows.rle_bitmap_encode_strip of the [H, W] strip)."""
+            return q_rle(params, gallery.gallery_nt, gallery.valid,
+                         ids_pad, bitmap, values, starts)
+        return query
 
     def query(strip, starts):
         """strip: [H, W/2] packed uint8 (pack4) or [H, W] uint8;

@@ -461,30 +461,40 @@ class AudioSheetServer:
                                       verbose: bool = False,
                                       n_samples: int = 100):
         """detect_performance in ONE device dispatch: the strip uploads
-        4-bit packed (PARITY.md item 11), and unpack + windowing + view-1
-        embedding + audio-gallery top-k + vote histogram run as a single
-        jitted program (gallery.make_fused_sheet_query); the download is
-        one [n_performances] count vector."""
+        losslessly bitmap-RLE coded (~0.17 B/px, bit-identical pixels), and
+        decode + windowing + view-1 embedding + audio-gallery top-k + vote
+        histogram run as a single jitted program
+        (gallery.make_fused_sheet_query); the download is one
+        [n_performances] count vector. Strip widths pad to 4096-multiples
+        (white) so the program compiles once per width bucket."""
         import jax.numpy as jnp
 
-        from audio_sheet_retrieval_tpu.ops.windows import pack_strip_4bit
+        from audio_sheet_retrieval_tpu.ops.windows import (
+            rle_bitmap_encode_strip,
+        )
         from audio_sheet_retrieval_tpu.retrieval.gallery import (
             make_fused_sheet_query,
         )
 
+        strip = np.asarray(sheet, np.uint8)
+        wb = max(1, int(np.ceil(strip.shape[1] / 4096))) * 4096
+        strip_pad = np.full((strip.shape[0], wb), 255, np.uint8)
+        strip_pad[:, :strip.shape[1]] = strip
+        bm, vals = rle_bitmap_encode_strip(strip_pad)
+
         n_perf = max(self.id_to_perform) + 1
-        key = (id(self._audio_gallery), n_candidates, n_perf)
+        key = (id(self._audio_gallery), n_candidates, n_perf,
+               strip.shape[0], wb, vals.shape[0])
         if getattr(self, "_fused_sheet_query_key", None) != key:
             self._fused_sheet_query = make_fused_sheet_query(
                 self.embed_network.params, self.embed_network.cfg,
                 self._audio_gallery, n_perf, n_candidates=n_candidates,
-                pack4=True)
+                coding="rle_bitmap", strip_shape=(strip.shape[0], wb))
             self._fused_sheet_query_key = key
-        strip = np.asarray(sheet)
         starts = jnp.asarray(linspace_starts(strip.shape[1],
                                              self.sheet_shape[1], n_samples))
         counts = np.asarray(self._fused_sheet_query(
-            jnp.asarray(pack_strip_4bit(strip.astype(np.uint8))), starts))
+            jnp.asarray(bm), jnp.asarray(vals), starts))
         hit = np.flatnonzero(counts > 0)  # np.unique domain (voted pieces)
         order = hit[np.argsort(counts[hit])[::-1]][:top_k]
         if verbose:
