@@ -316,6 +316,19 @@ def make_audio_embedder_mulaw_batched(params, cfg, processor):
     return embed
 
 
+def rle_bitmap_encode_padded(strip_u8: np.ndarray, width_bucket: int = 4096):
+    """Pad a strip (white) to a width-bucket multiple and bitmap-RLE encode
+    it: -> (bitmap, values, (h, w_padded)). One compile per (h, bucketed
+    width) for the consumers' jitted programs; shared by the device DB
+    build and the fused sheet query."""
+    s = np.asarray(strip_u8, np.uint8)
+    wb = max(1, int(np.ceil(s.shape[1] / width_bucket))) * width_bucket
+    padded = np.full((s.shape[0], wb), 255, np.uint8)
+    padded[:, :s.shape[1]] = s
+    bm, vals = rle_bitmap_encode_strip(padded)
+    return bm, vals, (s.shape[0], wb)
+
+
 def make_strip_embedder_rle_bitmap(params, cfg, strip_shape,
                                    *, center_crop: int | None = None,
                                    gather_half: bool = False):

@@ -51,14 +51,18 @@ class DeviceGallery:
 
     def __init__(self, codes: np.ndarray, ids: Optional[np.ndarray] = None,
                  bucket: int = 2048, use_pallas: Optional[bool] = None):
-        codes = np.asarray(codes, np.float32)
         n, d = codes.shape
         n_pad = max(bucket, int(np.ceil(n / bucket) * bucket))
-        padded = np.zeros((n_pad, d), np.float32)
-        padded[:n] = codes
+        if isinstance(codes, jnp.ndarray):
+            # device-resident codes (the fused DB builds) pad on device —
+            # no download/re-upload round trip
+            g = jnp.pad(codes.astype(jnp.float32), ((0, n_pad - n), (0, 0)))
+        else:
+            padded = np.zeros((n_pad, d), np.float32)
+            padded[:n] = np.asarray(codes, np.float32)
+            g = jnp.asarray(padded)
         self.n = n
         # store normalized + transposed: the query matmul is [Q,d] @ [d,N]
-        g = jnp.asarray(padded)
         self.gallery_n = _normalize(g)
         self.gallery_nt = jnp.transpose(self.gallery_n)
         self.valid = jnp.arange(n_pad) < n

@@ -219,19 +219,17 @@ class AudioSheetServer:
             image = np.asarray(scores[piece_idx], np.uint8)
             starts = np.arange(0, image.shape[1] - w, w // 4,
                                dtype=np.int32)
-            wb = max(1, int(np.ceil(image.shape[1] / width_bucket))
-                     ) * width_bucket
-            strip_pad = np.full((image.shape[0], wb), 255, np.uint8)
-            strip_pad[:, :image.shape[1]] = image
-            bm, vals = win.rle_bitmap_encode_strip(strip_pad)
+            bm, vals, (sh, wb) = win.rle_bitmap_encode_padded(
+                image, width_bucket)
             n_max = len(win.stride_starts(wb, w, w // 4))
             starts_pad = np.zeros(n_max, np.int32)
             starts_pad[:len(starts)] = starts
-            key = (image.shape[0], wb, vals.shape[0], n_max)
+            # key = the factory's actual static inputs; jit re-specializes
+            # per payload shape under one shared params device_put
+            key = (sh, wb)
             if key not in embedders:
                 embedders[key] = win.make_strip_embedder_rle_bitmap(
-                    wrapper.params, wrapper.cfg, (image.shape[0], wb),
-                    center_crop=h)
+                    wrapper.params, wrapper.cfg, (sh, wb), center_crop=h)
             c = embedders[key](jnp.asarray(bm), jnp.asarray(vals),
                                jnp.asarray(starts_pad))
             codes.append(c[:len(starts)])
@@ -272,12 +270,11 @@ class AudioSheetServer:
             n_max = len(win.stride_starts(tb, ctx, ctx // 4))
             starts_pad = np.zeros(n_max, np.int32)
             starts_pad[:len(starts)] = starts
-            key = (bins, tb, n_max)
-            if key not in embedders:
-                embedders[key] = win.make_spec_embedder(wrapper.params,
-                                                        wrapper.cfg)
-            c = embedders[key](jnp.asarray(spec_pad),
-                               jnp.asarray(starts_pad))
+            if not embedders:  # one embedder; jit specializes per shape
+                embedders[0] = win.make_spec_embedder(wrapper.params,
+                                                      wrapper.cfg)
+            c = embedders[0](jnp.asarray(spec_pad),
+                             jnp.asarray(starts_pad))
             codes.append(c[:len(starts)])
             ids.append(np.full(len(starts), piece_idx, np.int64))
         self.perform_excerpt_codes = jnp.concatenate(codes)
@@ -470,31 +467,31 @@ class AudioSheetServer:
         import jax.numpy as jnp
 
         from audio_sheet_retrieval_tpu.ops.windows import (
-            rle_bitmap_encode_strip,
+            rle_bitmap_encode_padded,
         )
         from audio_sheet_retrieval_tpu.retrieval.gallery import (
             make_fused_sheet_query,
         )
 
         strip = np.asarray(sheet, np.uint8)
-        wb = max(1, int(np.ceil(strip.shape[1] / 4096))) * 4096
-        strip_pad = np.full((strip.shape[0], wb), 255, np.uint8)
-        strip_pad[:, :strip.shape[1]] = strip
-        bm, vals = rle_bitmap_encode_strip(strip_pad)
+        bm, vals, (sh, wb) = rle_bitmap_encode_padded(strip)
 
         n_perf = max(self.id_to_perform) + 1
-        key = (id(self._audio_gallery), n_candidates, n_perf,
-               strip.shape[0], wb, vals.shape[0])
-        if getattr(self, "_fused_sheet_query_key", None) != key:
-            self._fused_sheet_query = make_fused_sheet_query(
+        key = (id(self._audio_gallery), n_candidates, n_perf, sh, wb)
+        cache = getattr(self, "_fused_sheet_queries", None)
+        if cache is None:
+            cache = self._fused_sheet_queries = {}
+        if key not in cache:
+            if len(cache) >= 8:  # bound the per-geometry program cache
+                cache.pop(next(iter(cache)))
+            cache[key] = make_fused_sheet_query(
                 self.embed_network.params, self.embed_network.cfg,
                 self._audio_gallery, n_perf, n_candidates=n_candidates,
-                coding="rle_bitmap", strip_shape=(strip.shape[0], wb))
-            self._fused_sheet_query_key = key
+                coding="rle_bitmap", strip_shape=(sh, wb))
         starts = jnp.asarray(linspace_starts(strip.shape[1],
                                              self.sheet_shape[1], n_samples))
-        counts = np.asarray(self._fused_sheet_query(
-            jnp.asarray(bm), jnp.asarray(vals), starts))
+        counts = np.asarray(cache[key](jnp.asarray(bm), jnp.asarray(vals),
+                                       starts))
         hit = np.flatnonzero(counts > 0)  # np.unique domain (voted pieces)
         order = hit[np.argsort(counts[hit])[::-1]][:top_k]
         if verbose:

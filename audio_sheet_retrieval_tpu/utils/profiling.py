@@ -18,15 +18,26 @@ import numpy as np
 
 def enable_compile_cache(cache_dir: Optional[str] = None) -> Optional[str]:
     """Enable JAX's persistent compilation cache (big win over the slow
-    remote-compile tunnel; call early in CLIs/benchmarks)."""
+    remote-compile tunnel; call early in CLIs/benchmarks).
+
+    The directory is suffixed with the active backend platform so CPU AOT
+    entries never mix into a TPU-session cache (and vice versa): loading a
+    cache entry compiled for different machine features warns and can
+    SIGILL."""
     import os
 
     import jax
 
-    cache_dir = cache_dir or os.environ.get(
-        "ASR_COMPILE_CACHE",
-        os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__)))), ".jax_cache"))
+    if cache_dir is None:
+        base = os.environ.get(
+            "ASR_COMPILE_CACHE",
+            os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), ".jax_cache"))
+        try:
+            platform = jax.default_backend()
+        except Exception:
+            platform = "unknown"
+        cache_dir = os.path.join(base, platform)
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)

@@ -69,17 +69,12 @@ def _real_staff_band() -> np.ndarray:
 def main():
     import jax
 
-    # persistent compile cache: the window-gather programs are expensive to
-    # compile; cache them across bench invocations/rounds
-    cache_dir = os.environ.get(
-        "ASR_COMPILE_CACHE",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     ".jax_cache"))
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception as e:  # older jax versions
-        log("compilation cache unavailable:", e)
+    # persistent compile cache (platform-suffixed dir): the window-gather
+    # programs are expensive to compile; cache across invocations/rounds
+    from audio_sheet_retrieval_tpu.utils.profiling import enable_compile_cache
+
+    if enable_compile_cache() is None:
+        log("compilation cache unavailable")
 
     import jax.numpy as jnp
 

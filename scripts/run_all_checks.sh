@@ -6,7 +6,7 @@ cd "$(dirname "$0")/.."
 echo "=== tests (full, incl. slow) ==="
 python3 -m pytest tests/ -q -m ""
 echo "=== driver hooks (virtual 8-device mesh) ==="
-XLA_FLAGS="--xla_force_host_platform_device_count=8" ASR_COMPILE_CACHE=.jax_cache_cpu python3 -c "
+XLA_FLAGS="--xla_force_host_platform_device_count=8" python3 -c "
 import jax; jax.config.update('jax_platforms','cpu')
 import __graft_entry__ as g
 fn, args = g.entry()

@@ -62,8 +62,10 @@ def main():
     # losses are replicated (P()) — every addressable shard holds the full
     # global value, so read it without a cross-process gather
     losses = np.asarray(losses.addressable_shards[0].data)
-    print(f"LOSSES {proc_id}: {np.round(losses.reshape(-1), 6).tolist()}",
-          flush=True)
+    # full-precision hex so the parent's equality check really asserts
+    # bit-identical cross-host losses
+    print(f"LOSSES {proc_id}: "
+          f"{[float(x).hex() for x in losses.reshape(-1)]}", flush=True)
     assert np.isfinite(losses).all()
     print(f"OK {proc_id}", flush=True)
 

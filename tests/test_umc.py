@@ -48,6 +48,10 @@ def umc_dataset(tmp_path_factory):
         sig = sum(0.2 * np.sin(2 * np.pi * f * t) for f in freqs)
         _write_wav(str(root / name / "score_ppq.wav"),
                    (sig * 20000).astype(np.int16), sr)
+        # real-performance marker/recording (the s2a server gates pieces on
+        # a *performance* file existing — reference umc_s2a_server)
+        _write_wav(str(root / name / "01_performance.wav"),
+                   (sig * 18000).astype(np.int16), sr)
     return str(root)
 
 
@@ -63,11 +67,12 @@ def test_load_umc_sheets_unrolls_real_pages(umc_dataset):
     assert strips[1].shape[1] < strips[0].shape[1]
     # audio path resolution (reference get_performance_audio_path)
     assert umc.get_performance_audio_path(paths[0], "score_ppq") is not None
-    assert umc.get_performance_audio_path(paths[0], "01_performance") is None
+    assert umc.get_performance_audio_path(paths[0], "nonexistent") is None
 
 
 @pytest.mark.slow
-def test_umc_a2s_server_full_eval(umc_dataset, tmp_path):
+@pytest.mark.parametrize("mode", ["host", "device"])
+def test_umc_a2s_server_full_eval(umc_dataset, tmp_path, mode):
     from audio_sheet_retrieval_tpu.cli import umc_a2s_server
 
     db_file = os.path.join(tmp_path, "umc_db.pkl")
@@ -77,8 +82,7 @@ def test_umc_a2s_server_full_eval(umc_dataset, tmp_path):
         "--param_file", param_file,
         "--db_file", db_file,
         "--init_sheet_db", "--full_eval", "--dump_results",
-        "--device_db",
-    ])
+    ] + (["--device_db"] if mode == "device" else []))
     assert ranks is not None and len(ranks) == 2
     assert all(1 <= r <= 2 for r in ranks)
     assert os.path.exists(db_file)
@@ -98,3 +102,22 @@ def test_umc_a2s_server_full_eval(umc_dataset, tmp_path):
     with open(res_file) as fp:
         assert yaml.safe_load(fp) == list(ranks)
     os.remove(res_file)
+
+
+@pytest.mark.slow
+def test_umc_s2a_server_full_eval(umc_dataset, tmp_path):
+    """Sheet->audio direction through the real CLI: OMR-unrolled scans as
+    queries against the rendered-audio gallery (reference
+    umc_s2a_server.py:77-123), device-resident DB build."""
+    from audio_sheet_retrieval_tpu.cli import umc_s2a_server
+
+    db_file = os.path.join(tmp_path, "umc_audio_db.pkl")
+    ranks = umc_s2a_server.main([
+        "--data_dir", umc_dataset,
+        "--param_file", assets.tutorial_checkpoint_path(),
+        "--db_file", db_file,
+        "--init_audio_db", "--full_eval", "--device_db",
+    ])
+    assert ranks is not None and len(ranks) == 2
+    assert all(1 <= r <= 2 for r in ranks)
+    assert os.path.exists(db_file)
