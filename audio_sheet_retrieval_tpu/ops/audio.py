@@ -120,6 +120,44 @@ class AudioProcessor:
         )
         return np.asarray(out[:nf]).T  # [bins, frames]
 
+    def process_host(self, signal: np.ndarray,
+                     sample_rate: Optional[int] = None) -> np.ndarray:
+        """Pure-numpy mirror of :meth:`process` — no device round trip.
+
+        This is the serving client's DSP for the spectrogram-upload ingest
+        mode: the reference's own architecture runs madmom on the host and
+        uploads precomputed ``*_spec.npy`` spectrograms
+        (reference:audio_sheet_server.py:632-636). Same framing / window /
+        rfft / filterbank / log arithmetic as the jitted core (numpy rfft
+        runs in float64, so values match the device path to ~1e-4; the
+        embedding A/B lives in tests/test_windows.py).
+
+        Returns [num_bins, num_frames] float32.
+        """
+        signal = np.asarray(signal)
+        if signal.ndim == 2:
+            signal = signal.mean(axis=1).astype(signal.dtype)
+        if sample_rate is not None and sample_rate != self.sample_rate:
+            signal = resample(signal, sample_rate, self.sample_rate)
+        if np.issubdtype(signal.dtype, np.integer):
+            scale = float(np.iinfo(signal.dtype).max)
+        else:
+            scale = 1.0
+        window = np.hanning(self.frame_size).astype(np.float32) / scale
+
+        n = len(signal)
+        nf = num_frames_for(n, self.hop_size)
+        starts = (np.arange(nf) * self.hop_size).astype(np.int64)
+        pad_to = int(starts[-1]) + self.frame_size
+        sig = np.zeros(pad_to, np.float32)
+        sig[:n] = signal.astype(np.float32)
+
+        idx = starts[:, None] + np.arange(self.frame_size)[None, :]
+        frames = sig[idx] * window[None, :]
+        spec = np.abs(np.fft.rfft(frames, axis=1))[:, : self.frame_size // 2]
+        filtered = spec.astype(np.float32) @ np.asarray(self.filterbank)
+        return np.log10(1.0 + filtered).astype(np.float32).T
+
     def process_on_device(self, signal_f32: jnp.ndarray,
                           num_frames: int) -> jnp.ndarray:
         """Jit-friendly variant for fused pipelines: float32 signal already on

@@ -171,13 +171,14 @@ def rle_encode_strip(strip_u8: np.ndarray, pad_to: int = RLE_PAD_RUNS):
     ends = np.concatenate([boundaries, [flat.size]])
     values = flat[starts]
     lengths = ends - starts
-    if lengths.max() > 0xFFFF:  # split over-long runs
+    if lengths.max() > 0xFFFF:  # split over-long runs (vectorized: white
+        # margins make >65535-px runs near-universal on real strips)
         n_parts = (lengths + 0xFFFE) // 0xFFFF
         values = np.repeat(values, n_parts)
-        split_lens = []
-        for ln, np_ in zip(lengths, n_parts):
-            split_lens.extend([0xFFFF] * (np_ - 1) + [ln - 0xFFFF * (np_ - 1)])
-        lengths = np.asarray(split_lens)
+        split_lens = np.full(int(n_parts.sum()), 0xFFFF, np.int64)
+        last = np.cumsum(n_parts) - 1  # each run's final chunk gets the rest
+        split_lens[last] = lengths - 0xFFFF * (n_parts - 1)
+        lengths = split_lens
     r = len(values)
     r_pad = ((r + pad_to - 1) // pad_to) * pad_to
     values = np.pad(values, (0, r_pad - r)).astype(np.uint8)
@@ -394,6 +395,97 @@ def make_spec_embedder(params, cfg):
 
     def embed(spec, starts):
         return embed_p(params, spec, starts)
+
+    return embed
+
+
+def spec_quantize(spec: np.ndarray, bits: int = 8):
+    """Quantize a log-filterbank spectrogram for the host->device wire.
+
+    The spectrogram-upload serving mode (the reference's own architecture:
+    host madmom DSP, precomputed ``*_spec.npy`` uploads —
+    reference:audio_sheet_server.py:632-636) cuts the audio wire term from
+    22 kB/s (mu-law waveform) to 7.4 kB/s (f32 spec) and further to
+    1.8/3.7 kB/s with this u8/u16 log-magnitude quantization: values are
+    ``log10(1+filtered) >= 0``, scaled by the per-payload max into the
+    integer range. A/B on the reference checkpoint + recording:
+    tests/test_windows.py + PARITY.md.
+
+    Returns (codes uint8|uint16 [bins, T], scale float32).
+    """
+    assert bits in (8, 16), bits
+    s = np.asarray(spec, np.float32)
+    scale = float(s.max()) if s.size else 0.0
+    if scale <= 0.0:
+        scale = 1.0
+    maxcode = (1 << bits) - 1
+    codes = np.round(s * (maxcode / scale))
+    codes = np.clip(codes, 0, maxcode)
+    return codes.astype(np.uint8 if bits == 8 else np.uint16), \
+        np.float32(scale)
+
+
+def spec_dequantize_device(codes: jnp.ndarray, scale) -> jnp.ndarray:
+    """Device-side inverse of spec_quantize -> float32 [bins, T]."""
+    maxcode = float(jnp.iinfo(codes.dtype).max)
+    return codes.astype(jnp.float32) * (scale / maxcode)
+
+
+def make_spec_embedder_q(params, cfg):
+    """Quantized-spectrogram embedder: fn(codes u8|u16, scale, starts) ->
+    [N, dim]. Dequantize + window gather + encoder+CCA+L2 fuse into one
+    program (one compile per codes dtype/shape)."""
+    from audio_sheet_retrieval_tpu.models import cca_model
+    from audio_sheet_retrieval_tpu.train.engine import prepare_view2_device
+
+    window = cfg.input_shape_2[2]
+
+    @jax.jit
+    def embed_p(p, codes, scale, starts):
+        spec = spec_dequantize_device(codes, scale)
+        wins = gather_windows(spec, starts, window)
+        x = prepare_view2_device(wins[:, None, :, :])
+        return cca_model.embed_view2(p, x, cfg)
+
+    params = jax.device_put(params)
+
+    def embed(codes, scale, starts):
+        return embed_p(params, codes, scale, starts)
+
+    return embed
+
+
+def make_spec_embedder_batched(params, cfg, *, quantized: bool = False):
+    """Corpus-batched spectrogram embedder: all pieces' specs stack to
+    [P, bins, T] (f32, or u8/u16 codes + [P] scales when ``quantized``)
+    and upload in one transfer; per-piece embeds select their row on
+    device (see make_strip_embedder_rle_batched on why batching matters
+    on high-RPC-latency links)."""
+    from audio_sheet_retrieval_tpu.models import cca_model
+    from audio_sheet_retrieval_tpu.train.engine import prepare_view2_device
+
+    window = cfg.input_shape_2[2]
+
+    @jax.jit
+    def embed_p(p, specs_all, scales_all, idx, starts):
+        spec = jax.lax.dynamic_index_in_dim(specs_all, idx, keepdims=False)
+        if quantized:
+            scale = jax.lax.dynamic_index_in_dim(scales_all, idx,
+                                                 keepdims=False)
+            spec = spec_dequantize_device(spec, scale)
+        else:
+            spec = spec.astype(jnp.float32)
+        wins = gather_windows(spec, starts, window)
+        x = prepare_view2_device(wins[:, None, :, :])
+        return cca_model.embed_view2(p, x, cfg)
+
+    params = jax.device_put(params)
+
+    def embed(specs_all, scales_all, idx, starts):
+        return embed_p(params, specs_all,
+                       jnp.zeros(specs_all.shape[0], jnp.float32)
+                       if scales_all is None else scales_all,
+                       jnp.int32(idx), starts)
 
     return embed
 

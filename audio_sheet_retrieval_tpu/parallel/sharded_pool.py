@@ -179,6 +179,15 @@ class ShardedDevicePool:
         self.rng = rng if rng is not None else np.random.default_rng()
         D = mesh.shape[data_axis]
         self.n_shards = D
+        # SPMD invariant: the shared generator must advance identically on
+        # every process no matter how many shards are local, or the
+        # "replicated" epoch key/indices silently diverge on asymmetric
+        # multi-host meshes. Each shard's DevicePool therefore gets its own
+        # child generator keyed by shard id (ONE draw here, local-count
+        # independent), and the epoch rng/key are re-derived below from a
+        # process-0 broadcast seed.
+        shard_seeds = np.random.SeedSequence(
+            int(self.rng.integers(2 ** 63))).spawn(D)
         if widths is not None:
             groups = partition_pieces(widths, D)
         else:
@@ -212,7 +221,8 @@ class ShardedDevicePool:
                 [oc for _, _, oc in pieces],
                 spec_context=spec_context, sheet_context=sheet_context,
                 staff_height=staff_height,
-                data_augmentation=data_augmentation, rng=self.rng,
+                data_augmentation=data_augmentation,
+                rng=np.random.default_rng(shard_seeds[d]),
                 shuffle=False, mesh=None, host_only=True)
             local[d] = {
                 "strip": np.asarray(p.strip), "spec": np.asarray(p.spec),
@@ -279,6 +289,11 @@ class ShardedDevicePool:
             setattr(self, name, arr)
         del per_shard, local
 
+        # replicate the epoch rng/key across processes even when host rngs
+        # were seeded differently: process 0's seed wins
+        seed = int(multihost_utils.broadcast_one_to_all(
+            np.int64(self.rng.integers(2 ** 31))))
+        self.rng = np.random.default_rng(seed)
         self._finish_init(mesh, data_axis, sheet_context, staff_height,
                           spec_context, strip_h, bins, data_augmentation)
         return self

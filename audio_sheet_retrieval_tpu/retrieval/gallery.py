@@ -167,6 +167,60 @@ def make_fused_piece_query(params, cfg, processor, gallery: "DeviceGallery",
     return query
 
 
+def make_fused_piece_query_spec(params, cfg, gallery: "DeviceGallery",
+                                n_pieces: int, *, n_candidates: int = 25,
+                                quantized: bool = True):
+    """Spectrogram -> per-piece vote counts, ONE device dispatch.
+
+    The spectrogram-upload variant of make_fused_piece_query: the client
+    runs the DSP on the host (ops.audio.AudioProcessor.process_host — the
+    reference's own serving architecture, precomputed ``*_spec.npy``
+    uploads at audio_sheet_server.py:632-636) and ships only the
+    log-filterbank spectrogram: 7.4 kB/s f32, 1.8 kB/s u8-quantized
+    (``quantized``, via ops.windows.spec_quantize) vs 22 kB/s mu-law
+    waveform — the query upload drops ~12x and with it the p50 latency on
+    bandwidth-limited links.
+
+    query(spec_or_codes [bins, T], scale, starts) -> vote counts
+    [n_pieces]; pass scale=1.0 for f32 specs.
+    """
+    from audio_sheet_retrieval_tpu.models import cca_model
+    from audio_sheet_retrieval_tpu.ops.windows import (
+        gather_windows,
+        spec_dequantize_device,
+    )
+    from audio_sheet_retrieval_tpu.train.engine import prepare_view2_device
+
+    window = cfg.input_shape_2[2]
+    k = min(n_candidates, gallery.n)
+    ids_pad = np.full(gallery.gallery_n.shape[0], n_pieces, np.int32)
+    ids_pad[:gallery.n] = gallery.ids
+    ids_pad = jnp.asarray(ids_pad)
+
+    @jax.jit
+    def q(p, gal_nt, valid, idtab, payload, scale, starts):
+        spec = (spec_dequantize_device(payload, scale) if quantized
+                else payload.astype(jnp.float32))
+        wins = gather_windows(spec, starts, window)
+        codes = cca_model.embed_view2(
+            p, prepare_view2_device(wins[:, None, :, :]), cfg)
+        scores = jnp.dot(codes.astype(jnp.float32), gal_nt,
+                         preferred_element_type=jnp.float32)
+        scores = jnp.where(valid[None, :] & ~jnp.isnan(scores), scores,
+                           -jnp.inf)
+        _, idx = jax.lax.top_k(scores, k)
+        pid = idtab[idx]
+        return jnp.sum(pid[..., None] == jnp.arange(n_pieces), axis=(0, 1))
+
+    params = jax.device_put(params)
+
+    def query(payload, scale, starts):
+        return q(params, gallery.gallery_nt, gallery.valid, ids_pad,
+                 payload, jnp.float32(scale), starts)
+
+    return query
+
+
 def make_fused_sheet_query(params, cfg, gallery: "DeviceGallery",
                            n_pieces: int, *, n_candidates: int = 25,
                            pack4: bool = True, coding: str = None,

@@ -213,6 +213,10 @@ class AudioSheetServer:
         h, w = self.sheet_shape
         codes, ids = [], []
         self.id_to_piece = {}
+        # device builds never keep raw snippets (host builds' default
+        # keep_snippets=False); drop any stale set from a previous host
+        # build so save_sheet_db_file can't pickle mismatched snippets
+        self.sheet_snippets = None
         embedders = {}
         for piece_idx, piece in enumerate(pieces):
             self.id_to_piece[piece_idx] = piece
@@ -257,6 +261,7 @@ class AudioSheetServer:
         bins, ctx = self.spec_shape
         codes, ids = [], []
         self.id_to_perform = {}
+        self.perform_excerpts = None  # see initialize_sheet_db_from_imges_device
         embedders = {}
         for piece_idx, piece in enumerate(pieces):
             self.id_to_perform[piece_idx] = piece
@@ -418,6 +423,60 @@ class AudioSheetServer:
         counts = np.asarray(self._fused_query(
             jnp.asarray(mulaw_encode(signal)), starts, nf))
         hit = np.flatnonzero(counts > 0)  # np.unique domain (voted pieces)
+        order = hit[np.argsort(counts[hit])[::-1]][:top_k]
+        if verbose:
+            print(col.print_colored("\nRetrieval Ranking:", col.UNDERLINE))
+            for pid in order:
+                print("pid: %03d (%03d): %s" % (pid, counts[pid],
+                                                self.id_to_piece[pid]))
+        ret_result = [self.id_to_piece[int(pid)] for pid in order]
+        ret_votes = counts[order].astype(float)
+        ret_votes /= ret_votes.sum()
+        return ret_result, ret_votes
+
+    def detect_score_from_spec(self, spectrogram: np.ndarray,
+                               top_k: int = 1, n_candidates: int = 1,
+                               verbose: bool = False, n_samples: int = 100,
+                               quantize: Optional[int] = 8):
+        """detect_score with a spectrogram UPLOAD in one device dispatch.
+
+        The minimum-wire serving mode, and the reference's own serving
+        architecture (host madmom DSP, precomputed ``*_spec.npy`` uploads —
+        audio_sheet_server.py:632-636): the client computes the
+        log-filterbank spectrogram host-side (ops.audio.AudioProcessor.
+        process_host) and ships 1.8 kB/s (``quantize=8``), 3.7 kB/s (16) or
+        7.4 kB/s (None, f32) instead of 22 kB/s mu-law audio. Embedding,
+        gallery top-k and the vote histogram run fused on device; ranking
+        semantics match :meth:`detect_score_from_audio`. A/B vs the f32
+        path: PARITY.md item 15.
+        """
+        import jax.numpy as jnp
+
+        from audio_sheet_retrieval_tpu.ops.windows import spec_quantize
+        from audio_sheet_retrieval_tpu.retrieval.gallery import (
+            make_fused_piece_query_spec,
+        )
+
+        assert quantize in (None, 8, 16), quantize
+        n_pieces = max(self.id_to_piece) + 1
+        key = (id(self._sheet_gallery), n_candidates, n_pieces,
+               quantize is not None)
+        if getattr(self, "_fused_spec_query_key", None) != key:
+            self._fused_spec_query = make_fused_piece_query_spec(
+                self.embed_network.params, self.embed_network.cfg,
+                self._sheet_gallery, n_pieces, n_candidates=n_candidates,
+                quantized=quantize is not None)
+            self._fused_spec_query_key = key
+        spec = np.asarray(spectrogram, np.float32)
+        if quantize is not None:
+            payload, scale = spec_quantize(spec, bits=quantize)
+        else:
+            payload, scale = spec, np.float32(1.0)
+        starts = jnp.asarray(linspace_starts(spec.shape[1],
+                                             self.spec_shape[1], n_samples))
+        counts = np.asarray(self._fused_spec_query(
+            jnp.asarray(payload), scale, starts))
+        hit = np.flatnonzero(counts > 0)
         order = hit[np.argsort(counts[hit])[::-1]][:top_k]
         if verbose:
             print(col.print_colored("\nRetrieval Ranking:", col.UNDERLINE))

@@ -21,9 +21,12 @@ def enable_compile_cache(cache_dir: Optional[str] = None) -> Optional[str]:
     remote-compile tunnel; call early in CLIs/benchmarks).
 
     The directory is suffixed with the active backend platform so CPU AOT
-    entries never mix into a TPU-session cache (and vice versa): loading a
-    cache entry compiled for different machine features warns and can
-    SIGILL."""
+    entries never mix into a TPU-session cache (and vice versa); the CPU
+    dir is additionally keyed by the host's CPU feature flags, because
+    XLA:CPU AOT blobs are microarchitecture-specific — loading one compiled
+    on a different machine warns `cpu_aot_loader ... could lead to
+    execution errors such as SIGILL`. Feature-keying makes stale entries
+    structurally unreachable instead of a latent flake."""
     import os
 
     import jax
@@ -37,6 +40,8 @@ def enable_compile_cache(cache_dir: Optional[str] = None) -> Optional[str]:
             platform = jax.default_backend()
         except Exception:
             platform = "unknown"
+        if platform == "cpu":
+            platform += "-" + _host_cpu_feature_tag()
         cache_dir = os.path.join(base, platform)
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
@@ -44,6 +49,27 @@ def enable_compile_cache(cache_dir: Optional[str] = None) -> Optional[str]:
         return cache_dir
     except Exception:
         return None
+
+
+def _host_cpu_feature_tag() -> str:
+    """Short stable fingerprint of this host's CPU feature flags
+    (/proc/cpuinfo `flags` line; order-normalized)."""
+    import hashlib
+
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    if not flags:
+        import platform as _plat
+
+        flags = f"{_plat.machine()}-{_plat.processor()}"
+    return hashlib.sha1(flags.encode()).hexdigest()[:12]
 
 
 @contextlib.contextmanager

@@ -105,3 +105,21 @@ def test_resample_int16_roundtrip_shape():
     out = audio.resample(sig, sr_in, sr_out)
     assert out.dtype == np.int16
     assert abs(len(out) - sr_out) <= 2
+
+
+def test_process_host_matches_device_process():
+    """The pure-numpy host DSP (spectrogram-upload serving clients) must
+    match the jitted device chain to float32 tolerance, including int16
+    scaling, multi-channel downmix, and frame bucketing edges."""
+    proc = audio.AudioProcessor()
+    sr = proc.sample_rate
+    rng = np.random.default_rng(17)
+    sig = (rng.standard_normal(sr * 2 + 137) * 4000).astype(np.int16)
+    dev = proc.process(sig)
+    host = proc.process_host(sig)
+    assert host.shape == dev.shape and host.dtype == np.float32
+    np.testing.assert_allclose(host, dev, atol=2e-4)
+
+    stereo = np.stack([sig, (sig // 2)], axis=1)
+    np.testing.assert_allclose(proc.process_host(stereo),
+                               proc.process(stereo), atol=2e-4)

@@ -205,6 +205,38 @@ def test_detect_score_from_audio_matches_host_chain(setup):
     assert srv._fused_query_key == key
 
 
+def test_detect_score_from_spec_matches_host_chain(setup):
+    """Spec-upload fused query (host DSP, u8-quantized wire — the
+    minimum-wire serving mode) ranks like the host detect_score chain,
+    and the f32 payload variant matches it near-exactly."""
+    from audio_sheet_retrieval_tpu.ops.audio import AudioProcessor
+
+    srv, names, images, specs = setup
+    proc = AudioProcessor()
+    sr = proc.sample_rate
+    rng = np.random.default_rng(23)
+    t = np.arange(sr * 6) / sr
+    sig = ((np.sin(2 * np.pi * 392 * t) + np.sin(2 * np.pi * 523 * t))
+           * 8000 + rng.standard_normal(len(t)) * 400).astype(np.int16)
+    spec = proc.process_host(sig)
+
+    want_rank, want_votes = srv.detect_score(spec, top_k=4, n_candidates=5)
+    got_rank, got_votes = srv.detect_score_from_spec(spec, top_k=4,
+                                                     n_candidates=5)
+    assert got_rank[0] == want_rank[0]
+    np.testing.assert_allclose(got_votes[:len(want_votes)], want_votes,
+                               atol=0.05)  # u8 quantization jitter
+    # cached program reused across calls with the same geometry key
+    key = srv._fused_spec_query_key
+    srv.detect_score_from_spec(spec, top_k=2, n_candidates=5)
+    assert srv._fused_spec_query_key == key
+    f32_rank, f32_votes = srv.detect_score_from_spec(
+        spec, top_k=4, n_candidates=5, quantize=None)
+    assert f32_rank[0] == want_rank[0]
+    np.testing.assert_allclose(f32_votes[:len(want_votes)], want_votes,
+                               atol=1e-6)
+
+
 def test_detect_performance_from_sheet_matches_host_chain(setup):
     """Fused one-dispatch sheet query (4-bit upload, device windows+embed+
     top-k+vote) ranks like the host detect_performance chain."""

@@ -130,6 +130,79 @@ def test_mulaw_audio_embedder_matches_raw_path():
     assert cos.min() > 0.999
 
 
+def test_spec_quantize_roundtrip_error_bound():
+    rng = np.random.default_rng(21)
+    spec = (rng.random((92, 300)) * 4.3).astype(np.float32)
+    for bits, dt in ((8, np.uint8), (16, np.uint16)):
+        codes, scale = windows.spec_quantize(spec, bits=bits)
+        assert codes.dtype == dt
+        dec = np.asarray(windows.spec_dequantize_device(
+            jnp.asarray(codes), scale))
+        # round-to-nearest: error bounded by half a quantization step
+        step = scale / ((1 << bits) - 1)
+        assert np.abs(dec - spec).max() <= step / 2 + 1e-6
+    # degenerate all-zero spec must not divide by zero
+    z, s = windows.spec_quantize(np.zeros((4, 4), np.float32))
+    assert s > 0 and z.max() == 0
+
+
+def test_spec_embedder_quantized_matches_f32_path():
+    """Spectrogram-upload ingest (host DSP, u8/u16-quantized wire) must not
+    move embeddings vs the f32 spec path (serving default: ASR_BENCH_AUDIO=
+    specu8; A/B on the reference checkpoint + recording in PARITY.md)."""
+    cfg = get_model_config("mutopia_ccal_cont_rsz", num_filters=4,
+                           dim_latent=8)
+    params = cca_model.init_model(jax.random.PRNGKey(2), cfg)
+    params = params._replace(cca=params.cca._replace(
+        U=jnp.eye(cfg.dim_latent), V=jnp.eye(cfg.dim_latent)))
+    proc = audio.AudioProcessor()
+    sr = proc.sample_rate
+    rng = np.random.default_rng(6)
+    t = np.arange(sr * 3) / sr
+    sig = ((np.sin(2 * np.pi * 262 * t) + np.sin(2 * np.pi * 392 * t))
+           * 7000 + rng.standard_normal(sr * 3) * 250).astype(np.int16)
+    spec = proc.process_host(sig)
+    starts = jnp.asarray(windows.linspace_starts(spec.shape[1], 42, 8))
+
+    f32 = np.asarray(windows.make_spec_embedder(params, cfg)(
+        jnp.asarray(spec), starts))
+    for bits, floor in ((8, 0.999), (16, 0.999999)):
+        codes, scale = windows.spec_quantize(spec, bits=bits)
+        q = np.asarray(windows.make_spec_embedder_q(params, cfg)(
+            jnp.asarray(codes), scale, starts))
+        cos = np.sum(f32 * q, axis=1)  # embeddings are L2-normalized
+        assert cos.min() > floor, (bits, cos.min())
+
+
+def test_spec_embedder_batched_matches_single():
+    cfg = get_model_config("mutopia_ccal_cont_rsz", num_filters=4,
+                           dim_latent=8)
+    params = cca_model.init_model(jax.random.PRNGKey(3), cfg)
+    params = params._replace(cca=params.cca._replace(
+        U=jnp.eye(cfg.dim_latent), V=jnp.eye(cfg.dim_latent)))
+    rng = np.random.default_rng(8)
+    specs = (rng.random((3, 92, 200)) * 4).astype(np.float32)
+    starts = jnp.asarray(np.arange(0, 150, 20, dtype=np.int32))
+
+    single = windows.make_spec_embedder(params, cfg)
+    batched = windows.make_spec_embedder_batched(params, cfg)
+    for p in range(3):
+        want = np.asarray(single(jnp.asarray(specs[p]), starts))
+        got = np.asarray(batched(jnp.asarray(specs), None, p, starts))
+        np.testing.assert_array_equal(want, got)
+
+    # quantized batched path vs per-piece quantized path
+    enc = [windows.spec_quantize(s) for s in specs]
+    codes_all = jnp.asarray(np.stack([c for c, _ in enc]))
+    scales_all = jnp.asarray(np.asarray([s for _, s in enc], np.float32))
+    qb = windows.make_spec_embedder_batched(params, cfg, quantized=True)
+    qs = windows.make_spec_embedder_q(params, cfg)
+    for p in range(3):
+        want = np.asarray(qs(jnp.asarray(enc[p][0]), enc[p][1], starts))
+        got = np.asarray(qb(codes_all, scales_all, p, starts))
+        np.testing.assert_array_equal(want, got)
+
+
 def test_rle_roundtrip_lossless():
     """Host RLE encode -> device decode is bit-exact, including long-run
     splitting and zero-length padding runs."""
