@@ -35,6 +35,12 @@ def main(argv=None):
     p.add_argument("--max_epochs", type=int, default=40)
     p.add_argument("--n_test", type=int, default=2000)
     p.add_argument("--seed", type=int, default=23)
+    p.add_argument("--save_ckpt", default=None,
+                   help="save the best params pytree to this path")
+    p.add_argument("--serving_ab", action="store_true",
+                   help="after training, measure GROUND-TRUTH piece-ID "
+                        "accuracy of the fused spec serving path at f32 "
+                        "vs bf16 on the held-out pieces (VERDICT r2 #2)")
     args = p.parse_args(argv)
 
     import dataclasses
@@ -127,6 +133,35 @@ def main(argv=None):
     r2 = np.asarray(cca_ops.cca_transform_v2(res, lv2))
     out["s2a_refined"] = metrics(r1, r2)
     out["a2s_refined"] = metrics(r2, r1)
+
+    if args.save_ckpt:
+        from audio_sheet_retrieval_tpu.utils import io as uio
+
+        uio.save_pytree(args.save_ckpt, best,
+                        meta={"source": "scripts/capstone.py",
+                              "seed": args.seed,
+                              "dtype": args.compute_dtype})
+        print(f"checkpoint -> {args.save_ckpt}", file=sys.stderr)
+
+    if args.serving_ab:
+        # ground-truth serving A/B: same trained weights, same held-out
+        # pieces, fused spec piece-ID queries at f32 vs bf16 (gallery
+        # build AND query both run at the arm's dtype)
+        from audio_sheet_retrieval_tpu.retrieval.accuracy import (
+            piece_id_accuracy,
+        )
+
+        te_specs = [sp[0] for sp in te[1]]
+        out["serving_ab"] = {}
+        for dt in ("float32", "bfloat16"):
+            acc = piece_id_accuracy(
+                best, dataclasses.replace(cfg, compute_dtype=dt),
+                te[0], te_specs)
+            out["serving_ab"][dt] = acc
+            print(f"serving piece-ID [{dt}]: rank<=1 {acc['rank1']}/"
+                  f"{acc['n']}, rank<=5 {acc['rank5']}/{acc['n']}",
+                  file=sys.stderr)
+
     print(json.dumps(out))
     return out
 
