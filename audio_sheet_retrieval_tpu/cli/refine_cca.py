@@ -86,8 +86,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--seed", type=int, default=23)
     parser.add_argument("--train_split", type=str, default=None)
     parser.add_argument("--config", type=str, default=None)
+    parser.add_argument("--tag", type=str, default=None,
+                        help="override the artifact tag (dataset-size sweeps)")
     parser.add_argument("--exp_root", type=str, default=None)
     parser.add_argument("--param_file", type=str, default=None)
+    parser.add_argument("--max_train_pieces", type=int, default=None,
+                        help="refine on a training-piece subset (dataset-"
+                             "size sweeps)")
     return parser
 
 
@@ -97,7 +102,7 @@ def main(argv=None):
     enable_compile_cache()
     args = build_arg_parser().parse_args(argv)
     model_cfg = get_model_config(args.model)
-    tag = cfg_mod.compile_tag(args.train_split, args.config)
+    tag = args.tag or cfg_mod.compile_tag(args.train_split, args.config)
     print("Experimental Tag:", tag)
 
     exp_root = args.exp_root or cfg_mod.EXP_ROOT
@@ -108,7 +113,8 @@ def main(argv=None):
     params = load_any_checkpoint(param_file, model_cfg)
 
     print("\nLoading data...")
-    data = select_data(args.data, args.train_split, args.config, args.seed)
+    data = select_data(args.data, args.train_split, args.config, args.seed,
+                       max_train_pieces=args.max_train_pieces)
 
     params, _ = refine(params, model_cfg, data, n_train=args.n_train)
 

@@ -198,6 +198,9 @@ def main(argv=None):
     p.add_argument("--out_path", required=True)
     p = sub.add_parser("umc-piece-retrieval")
     p.add_argument("--out_path", required=True)
+    p.add_argument("--dset", action="append", default=None,
+                   help="dataset name(s) (= data_dir basename; default "
+                        "umc_mozart); repeatable")
     p = sub.add_parser("curves")
     p.add_argument("log_file")
     p.add_argument("--watch", action="store_true")
@@ -212,7 +215,8 @@ def main(argv=None):
     if args.cmd == "dset-size":
         return report_dset_size(args.out_path)
     if args.cmd == "umc-piece-retrieval":
-        return report_umc_piece_retrieval(args.out_path)
+        return report_umc_piece_retrieval(
+            args.out_path, dsets=tuple(args.dset or ("umc_mozart",)))
     if args.cmd == "curves":
         return report_curves(args.log_file, watch=args.watch)
 

@@ -35,6 +35,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--seed", type=int, default=23)
     parser.add_argument("--train_split", type=str, default=None)
     parser.add_argument("--config", type=str, default=None)
+    parser.add_argument("--tag", type=str, default=None,
+                        help="override the artifact tag (dataset-size sweeps)")
     parser.add_argument("--dump_results", action="store_true")
     parser.add_argument("--exp_root", type=str, default=None)
     parser.add_argument("--param_file", type=str, default=None,
@@ -50,7 +52,7 @@ def main(argv=None):
     model_cfg = get_model_config(args.model)
 
     exp_name = model_cfg.name + ("_est_UV" if args.estimate_UV else "")
-    tag = cfg_mod.compile_tag(args.train_split, args.config)
+    tag = args.tag or cfg_mod.compile_tag(args.train_split, args.config)
     print("Experimental Tag:", tag)
 
     dump_file = args.param_file

@@ -53,6 +53,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--host_data", action="store_true",
                         help="disable the device-resident data path (keep "
                              "per-batch host preparation like the reference)")
+    parser.add_argument("--max_train_pieces", type=int, default=None,
+                        help="subset the training pieces (dataset-size "
+                             "sweeps; reference train_models_dset_size.sh "
+                             "uses bach_split_{10,25,50,75} yamls)")
+    parser.add_argument("--tag", type=str, default=None,
+                        help="override the artifact tag (default: "
+                             "<split>_<config> stems)")
     return parser
 
 
@@ -76,9 +83,10 @@ def main(argv=None):
         model_cfg = dataclasses.replace(model_cfg, **overrides)
 
     print("\nLoading data...")
-    data = select_data(args.data, args.train_split, args.config, args.seed)
+    data = select_data(args.data, args.train_split, args.config, args.seed,
+                       max_train_pieces=args.max_train_pieces)
 
-    tag = cfg_mod.compile_tag(args.train_split, args.config)
+    tag = args.tag or cfg_mod.compile_tag(args.train_split, args.config)
     print("Experimental Tag:", tag)
 
     exp_root = args.exp_root or cfg_mod.EXP_ROOT

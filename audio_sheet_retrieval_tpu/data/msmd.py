@@ -144,8 +144,14 @@ def load_audio_score_retrieval(
     test_only: bool = False,
     npz_dir: Optional[str] = None,
     seed: int = 23,
+    max_train_pieces: Optional[int] = None,
 ) -> Dict:
-    """MSMD analog of reference mutopia_data.py:47-98."""
+    """MSMD analog of reference mutopia_data.py:47-98.
+
+    ``max_train_pieces`` truncates the train split's piece list — the
+    native equivalent of the reference's bach_split_{10,25,50,75} subset
+    yamls (train_models_dset_size.sh:11); valid/test splits are untouched.
+    """
     exp = cfg_mod.load_experiment_config(config_file)
     augment = dict(exp.augment)
     test_augment = dict(NO_AUGMENT)
@@ -161,7 +167,10 @@ def load_audio_score_retrieval(
 
     tr_pool = va_pool = None
     if not test_only:
-        tr = load_piece_list(split["train"], aug_config=augment, **src)
+        train_pieces = split["train"]
+        if max_train_pieces is not None:
+            train_pieces = train_pieces[:max_train_pieces]
+        tr = load_piece_list(train_pieces, aug_config=augment, **src)
         tr_pool = AudioScoreRetrievalPool(
             *tr, data_augmentation=augment, shuffle=True,
             rng=np.random.default_rng(seed), **pool_kwargs)
@@ -184,20 +193,27 @@ def load_audio_score_retrieval(
 
 def select_data(data_name: str, split_file: Optional[str],
                 config_file: Optional[str], seed: int = 23,
-                test_only: bool = False) -> Dict:
+                test_only: bool = False,
+                max_train_pieces: Optional[int] = None) -> Dict:
     """Data selector (reference run_train.py:32-41) with synthetic/npz
-    sources for msmd-free environments."""
+    sources for msmd-free environments. ``max_train_pieces`` subsets the
+    training pieces (dataset-size sweeps, train_models_dset_size.sh)."""
     if data_name == "mutopia":
         return load_audio_score_retrieval(split_file, config_file,
-                                          test_only=test_only, seed=seed)
+                                          test_only=test_only, seed=seed,
+                                          max_train_pieces=max_train_pieces)
     if data_name.startswith("npz:"):
         return load_audio_score_retrieval(split_file, config_file,
                                           test_only=test_only, seed=seed,
-                                          npz_dir=data_name[4:])
+                                          npz_dir=data_name[4:],
+                                          max_train_pieces=max_train_pieces)
     if data_name == "synthetic":
         from audio_sheet_retrieval_tpu.data import synthetic
 
         exp = cfg_mod.load_experiment_config(config_file)
+        kw = {}
+        if max_train_pieces is not None:
+            kw["n_train"] = max_train_pieces
         return synthetic.load_synthetic_retrieval(
-            seed=seed, augment=exp.augment, test_only=test_only)
+            seed=seed, augment=exp.augment, test_only=test_only, **kw)
     raise ValueError(f"unknown data source: {data_name}")

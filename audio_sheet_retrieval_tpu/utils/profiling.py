@@ -31,6 +31,17 @@ def enable_compile_cache(cache_dir: Optional[str] = None) -> Optional[str]:
 
     import jax
 
+    # ASR_PLATFORM=cpu|tpu forces the backend for CLI subprocesses: plain
+    # JAX_PLATFORMS is overridden by TPU plugins (e.g. the tunneled axon
+    # backend); jax.config takes precedence. Every CLI calls this helper
+    # before touching jax, so the hook lands early enough.
+    plat = os.environ.get("ASR_PLATFORM")
+    if plat:
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
+
     if cache_dir is None:
         base = os.environ.get(
             "ASR_COMPILE_CACHE",

@@ -134,14 +134,53 @@ def main(argv=None):
     out["s2a_refined"] = metrics(r1, r2)
     out["a2s_refined"] = metrics(r2, r1)
 
+    # serving checkpoint = trained weights + the refined projection written
+    # back into the CCA head, the reference's exact deployment protocol
+    # (refine_cca.py:86-107 fits on PRE-CCA latents and rewrites
+    # U/V/means — fitting on post-CCA embeddings and writing into the
+    # pre-CCA layer would apply the projection in the wrong space)
+    import jax.numpy as jnp
+
+    assemble_eval = data["train"]._assemble[False]
+
+    @jax.jit
+    def run_pre(params_, strip, spec, cmat, omat, key):
+        def body(k, inputs):
+            k, sub = jax.random.split(k)
+            x1, x2 = assemble_eval(strip, spec, inputs[0], inputs[1], sub)
+            h1 = cca_model.pre_cca_latent_v1(
+                params_, engine.prepare_view1_device(x1, cfg), cfg)
+            h2 = cca_model.pre_cca_latent_v2(
+                params_, engine.prepare_view2_device(x2), cfg)
+            return k, (h1, h2)
+
+        _, (h1s, h2s) = jax.lax.scan(body, key, (cmat, omat))
+        return (h1s.reshape(-1, h1s.shape[-1]),
+                h2s.reshape(-1, h2s.shape[-1]))
+
+    tr_pool = data["train"]
+    ent = tr_pool._order[idx]  # same first-n_ref sample set as emb_tr above
+    ph1, ph2 = run_pre(
+        best, tr_pool.strip, tr_pool.spec,
+        tr_pool._put(tr_pool.entity_coords[ent], matrix=True),
+        tr_pool._put(tr_pool.entity_onsets[ent], matrix=True),
+        jax.random.PRNGKey(7))
+    res_pre = cca_ops.cca_fit(np.asarray(ph1)[:n_ref],
+                              np.asarray(ph2)[:n_ref], method="svd")
+    refined = best._replace(cca=best.cca._replace(
+        U=jnp.asarray(res_pre.U, jnp.float32),
+        V=jnp.asarray(res_pre.V, jnp.float32),
+        mean1=jnp.asarray(res_pre.m1, jnp.float32),
+        mean2=jnp.asarray(res_pre.m2, jnp.float32)))
+
     if args.save_ckpt:
         from audio_sheet_retrieval_tpu.utils import io as uio
 
-        uio.save_pytree(args.save_ckpt, best,
+        uio.save_pytree(args.save_ckpt, refined,
                         meta={"source": "scripts/capstone.py",
-                              "seed": args.seed,
+                              "seed": args.seed, "refined": True,
                               "dtype": args.compute_dtype})
-        print(f"checkpoint -> {args.save_ckpt}", file=sys.stderr)
+        print(f"checkpoint (refined) -> {args.save_ckpt}", file=sys.stderr)
 
     if args.serving_ab:
         # ground-truth serving A/B: same trained weights, same held-out
@@ -155,7 +194,7 @@ def main(argv=None):
         out["serving_ab"] = {}
         for dt in ("float32", "bfloat16"):
             acc = piece_id_accuracy(
-                best, dataclasses.replace(cfg, compute_dtype=dt),
+                refined, dataclasses.replace(cfg, compute_dtype=dt),
                 te[0], te_specs)
             out["serving_ab"][dt] = acc
             print(f"serving piece-ID [{dt}]: rank<=1 {acc['rank1']}/"

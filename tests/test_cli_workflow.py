@@ -85,3 +85,41 @@ def test_run_train_resume(tiny_model, tmp_path):
     a = np.asarray(after.view1["blocks"][0]["w"])
     assert b.shape == a.shape
     assert not np.allclose(a, b)
+
+
+@pytest.mark.slow
+def test_dset_size_sweep_workflow(tiny_model, tmp_path, capsys):
+    """Dataset-size sweep driver semantics (scripts/train_models_dset_size
+    .sh / eval_models_dset_size.sh; reference train_models_dset_size.sh):
+    --max_train_pieces subsets the training pieces, --tag routes artifacts
+    under the split-name convention, and `reports dset-size` aggregates
+    the per-fraction refined evals into the MRR-vs-size table."""
+    from audio_sheet_retrieval_tpu.cli import (
+        refine_cca,
+        reports,
+        run_eval,
+        run_train,
+    )
+
+    exp_root = str(tmp_path)
+    common = ["--model", "tiny_test", "--data", "synthetic",
+              "--exp_root", exp_root]
+    for n, tag in ((2, "all_split_10_mutopia_no_aug"),
+                   (4, "all_split_mutopia_no_aug")):
+        run_train.main(common + ["--max_train_pieces", str(n),
+                                 "--tag", tag, "--seed", "5"])
+        assert os.path.exists(os.path.join(
+            exp_root, "tiny_test", f"params_{tag}.pkl"))
+        refine_cca.main(common + ["--max_train_pieces", str(n),
+                                  "--tag", tag, "--n_train", "64"])
+        run_eval.main(common + ["--tag", tag, "--estimate_UV",
+                                "--dump_results", "--n_test", "32",
+                                "--V2_to_V1"])
+        assert os.path.exists(os.path.join(
+            exp_root, "tiny_test_est_UV", f"eval_{tag}_A2S.yaml"))
+
+    rows = reports.main(["dset-size", "--out_path",
+                         os.path.join(exp_root, "tiny_test_est_UV")])
+    out = capsys.readouterr().out
+    assert len(rows) == 2 and "10% train data" in out \
+        and "100% train data" in out

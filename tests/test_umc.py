@@ -121,3 +121,42 @@ def test_umc_s2a_server_full_eval(umc_dataset, tmp_path):
     assert ranks is not None and len(ranks) == 2
     assert all(1 <= r <= 2 for r in ranks)
     assert os.path.exists(db_file)
+
+
+@pytest.mark.slow
+def test_eval_piece_retrieval_umc_sweep_script(umc_dataset, tmp_path):
+    """The one-command UMC sweep wrapper (scripts/eval_piece_retrieval_umc
+    .sh; reference eval_piece_retrieval_umc.sh) runs both directions x
+    both performance sources and aggregates the rank table."""
+    import subprocess
+    import sys
+
+    # the sweep scripts run from the repo root (module-path convention of
+    # train_models.sh etc.); vendored-checkpoint result dumps land in cwd
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ,
+               ASR_UMC_PARAM_FILE=assets.tutorial_checkpoint_path(),
+               # subprocesses must force CPU via jax.config (the axon TPU
+               # plugin overrides the JAX_PLATFORMS env var); the CLIs
+               # honor ASR_PLATFORM through enable_compile_cache
+               ASR_PLATFORM="cpu")
+    proc = subprocess.run(
+        ["bash", os.path.join(repo, "scripts", "eval_piece_retrieval_umc.sh"),
+         umc_dataset],
+        cwd=repo, env=env, text=True, timeout=1500,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+    sys.stdout.write(proc.stdout[-2000:])
+    dset = os.path.basename(umc_dataset.rstrip("/"))
+    dumped = [f"umc_retrieval_tutorial_checkpoint_{dset}_{d}.yaml"
+              for d in ("A2S", "A2S_real", "S2A", "S2A_real")]
+    try:
+        assert proc.returncode == 0
+        for f in dumped:
+            assert os.path.exists(os.path.join(repo, f)), f
+        # the aggregator printed one LaTeX row per direction
+        assert proc.stdout.count(f"{dset} ") >= 4
+    finally:
+        for f in dumped:
+            p = os.path.join(repo, f)
+            if os.path.exists(p):
+                os.remove(p)
