@@ -452,15 +452,18 @@ def main():
 
         t_params = uio.load_pytree(synth_ckpt, like=cca_model.init_model(
             jax.random.PRNGKey(0), cfg))
-        te = synthetic.make_piece_list(25, 20, n_performances=1,
-                                       n_onsets=200)  # capstone held-out
+        # 60 held-out pieces (capstone serving-A/B corpus: seed 23+3), the
+        # reference detect_score protocol (100 excerpts, 25 candidates)
+        te = synthetic.make_piece_list(26, 60, n_performances=1,
+                                       n_onsets=200)
         te_specs = [sp[0] for sp in te[1]]
-        acc_f32 = piece_id_accuracy(t_params, cfg, te[0], te_specs,
-                                    quantize=q_bits)
+        kw = dict(queries_per_piece=1, excerpts_per_query=100,
+                  quantize=q_bits)
+        acc_f32 = piece_id_accuracy(t_params, cfg, te[0], te_specs, **kw)
         acc_bf16 = piece_id_accuracy(t_params, cfg_bf16, te[0], te_specs,
-                                     quantize=q_bits)
-        log(f"ground-truth piece-ID (20 held-out pieces x 3 queries, "
-            f"trained synth ckpt): f32 rank<=1 {acc_f32['rank1']}/"
+                                     **kw)
+        log(f"ground-truth piece-ID (60 held-out pieces, 100-excerpt "
+            f"queries, trained synth ckpt): f32 rank<=1 {acc_f32['rank1']}/"
             f"{acc_f32['n']} rank<=5 {acc_f32['rank5']}/{acc_f32['n']} | "
             f"bf16 rank<=1 {acc_bf16['rank1']}/{acc_bf16['n']} rank<=5 "
             f"{acc_bf16['rank5']}/{acc_bf16['n']}")

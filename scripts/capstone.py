@@ -190,12 +190,18 @@ def main(argv=None):
             piece_id_accuracy,
         )
 
-        te_specs = [sp[0] for sp in te[1]]
+        # the reference detect_score protocol exactly: 100 linspace
+        # excerpts over the WHOLE piece, 25 candidates, vote — one query
+        # per piece over >=50 held-out pieces (VERDICT r2 #2)
+        ab = synthetic.make_piece_list(args.seed + 3, 60,
+                                       n_performances=1, n_onsets=200)
+        ab_specs = [sp[0] for sp in ab[1]]
         out["serving_ab"] = {}
         for dt in ("float32", "bfloat16"):
             acc = piece_id_accuracy(
                 refined, dataclasses.replace(cfg, compute_dtype=dt),
-                te[0], te_specs)
+                ab[0], ab_specs, queries_per_piece=1,
+                excerpts_per_query=100)
             out["serving_ab"][dt] = acc
             print(f"serving piece-ID [{dt}]: rank<=1 {acc['rank1']}/"
                   f"{acc['n']}, rank<=5 {acc['rank5']}/{acc['n']}",

@@ -123,3 +123,37 @@ def test_dset_size_sweep_workflow(tiny_model, tmp_path, capsys):
     out = capsys.readouterr().out
     assert len(rows) == 2 and "10% train data" in out \
         and "100% train data" in out
+
+
+@pytest.mark.slow
+def test_full_protocol_driver(tiny_model, capsys):
+    """The one-command full-breadth capstone (scripts/full_protocol.py):
+    synthetic npz export -> train_models.sh semantics -> eval_models.sh
+    semantics -> `reports retrieval` TISMIR-style table, on a regime
+    subset with the tiny registered model."""
+    import importlib.util
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "full_protocol", os.path.join(repo, "scripts", "full_protocol.py"))
+    fp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(fp)
+
+    out = fp.main([
+        "--model", "tiny_test", "--n_train_pieces", "3",
+        "--n_valid_pieces", "2", "--n_test_pieces", "2",
+        "--n_onsets", "40", "--max_epochs", "1", "--n_test", "40",
+        "--n_refine", "80", "--compute_dtype", "float32",
+        "--regimes", "mutopia_no_aug,mutopia_full_aug"])
+    # the aggregator prints all four regime rows per direction; the two
+    # trained regimes carry real metric cells in the all_split column
+    assert len(out["table"]) == 8
+    filled = [r for r in out["table"]
+              if not r.endswith("- & - & - & - \\\\")]
+    assert len(filled) == 4
+    for row in filled:
+        assert row.count("&") == 12
+        assert row.startswith(("none", "full"))
+    # npz export round-tripped: one file per piece + the split yaml
+    npz_dir = os.path.join(out["workdir"], "npz")
+    assert len([f for f in os.listdir(npz_dir) if f.endswith(".npz")]) == 7
