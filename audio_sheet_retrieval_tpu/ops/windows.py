@@ -36,7 +36,7 @@ def stride_starts(total: int, window: int, stride: int) -> np.ndarray:
 
 
 def make_strip_embedder(params, cfg, *, center_crop: int | None = None,
-                        gather_half: bool = False):
+                        gather_half: bool = False, fullconv: bool = False):
     """Sheet-strip -> window embeddings, fully fused on device.
 
     Returns fn(strip_u8 [H, W], starts [N]) -> [N, dim] where the strip is
@@ -53,7 +53,7 @@ def make_strip_embedder(params, cfg, *, center_crop: int | None = None,
     @jax.jit
     def embed_p(p, strip_u8: jnp.ndarray, starts: jnp.ndarray):
         return _strip_embed_core(p, strip_u8, starts, cfg, False, crop_h,
-                                 gather_half)
+                                 gather_half, fullconv)
 
     params = jax.device_put(params)
 
@@ -64,7 +64,7 @@ def make_strip_embedder(params, cfg, *, center_crop: int | None = None,
 
 
 def _strip_embed_core(p, strip, starts, cfg, packed: bool, crop_h: int,
-                      gather_half: bool = False):
+                      gather_half: bool = False, fullconv: bool = False):
     """Traceable strip-embedding core (optionally 4-bit packed input):
     vertical center crop, window gather, 'prepare', encoder+CCA+L2.
     Compose inside larger jits (the embedders below, bench ceiling scans).
@@ -75,12 +75,19 @@ def _strip_embed_core(p, strip, starts, cfg, packed: bool, crop_h: int,
     the standard path for EVEN window starts and crop offsets (the half-
     scale bilinear 'prepare' IS a 2x2 mean; serving strides context//4
     are even); odd starts are rounded down one pixel.
+
+    ``fullconv`` (serving fast mode, implies the half-res plane): the
+    first conv block (conv-BN-ELU x2 + pool) runs ONCE over the whole
+    strip instead of per 75%-overlapping window — see
+    _strip_embed_core_fullconv.
     """
     from audio_sheet_retrieval_tpu.models import cca_model
     from audio_sheet_retrieval_tpu.train.engine import prepare_view1_device
 
     if packed:
         strip = unpack_strip_4bit(strip)
+    if fullconv and cfg.sheet_downscale == 2:
+        return _strip_embed_core_fullconv(p, strip, starts, cfg, crop_h)
     window = cfg.input_shape_1[2]
     r0 = strip.shape[0] // 2 - crop_h // 2
     if gather_half and cfg.sheet_downscale == 2:
@@ -98,6 +105,70 @@ def _strip_embed_core(p, strip, starts, cfg, packed: bool, crop_h: int,
     wins = gather_windows(strip.astype(jnp.float32), starts, window)
     x = prepare_view1_device(wins[:, None, :, :], cfg)
     return cca_model.embed_view1(p, x, cfg)
+
+
+def _strip_embed_core_fullconv(p, strip, starts, cfg, crop_h: int):
+    """Strip-level first-block serving fast path.
+
+    Serving DB builds embed windows at stride context//4 — 75% overlap —
+    so the per-window encoder recomputes the first conv block 4x on the
+    same pixels. The convs are translation-invariant: here conv-BN-ELU x2
+    run ONCE over the whole half-res strip plane; a horizontally-dense
+    maxpool (window 2x2, stride (2,1)) yields a plane whose column
+    j holds the pool over strip columns (j, j+1), so window start s
+    (half-res, any even full-res start) gathers its block-2 input as
+    columns s + 2k — exact pool-grid alignment for every stride with NO
+    parity duplication. Blocks 2-9 + CCA head run per window as usual.
+
+    Deviation vs the per-window path (measured, tests/test_windows.py):
+    a window's own conv SAME-pads its 1-px borders with zeros while the
+    strip conv sees the true neighboring pixels, so the 2 border columns
+    of the 50-column block-2 input differ — embedding cosine >= 0.9999
+    on the reference checkpoint; opt-in via ``fullconv=True`` like the
+    bf16 serving mode (s2d folding was measured a wash on the MXU —
+    scripts/s2d_probe.py — this overlap elimination is the lever that
+    pays).
+    """
+    from audio_sheet_retrieval_tpu.models import cca_model
+    from audio_sheet_retrieval_tpu.models import encoder as enc
+
+    dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    window = cfg.input_shape_1[2]
+    r0 = strip.shape[0] // 2 - crop_h // 2
+    h2_, w2_ = strip.shape[0] // 2, strip.shape[1] // 2
+    half = jax.image.resize(
+        strip.astype(jnp.float32) * (1.0 / 255.0), (h2_, w2_),
+        method="bilinear", antialias=False)
+    half = jax.lax.dynamic_slice_in_dim(half, r0 // 2, crop_h // 2, axis=0)
+
+    blocks = p.view1["blocks"]
+    h = half[None, :, :, None]
+    for i in (0, 1):
+        h = enc._conv(h, blocks[i]["w"], dt)
+        h = (h - blocks[i]["mean"]) * (blocks[i]["inv_std"]
+                                       * blocks[i]["gamma"]) + blocks[i]["beta"]
+        h = jax.nn.elu(h)
+    # horizontally-dense pool: [1, H/2, W2, C] -> [H/4, W2-1, C]
+    q = jax.lax.reduce_window(
+        h, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, 2, 2, 1), window_strides=(1, 2, 1, 1),
+        padding="VALID")[0]
+    n_cols = window // 2 // 2  # block-2 window width
+    cols = (starts // 2)[:, None] + 2 * jnp.arange(n_cols)[None, :]
+    wins = jnp.transpose(q[:, cols], (1, 0, 2, 3))     # [N, H/4, n_cols, C]
+
+    h = wins
+    for i in range(2, enc.N_CONV_BLOCKS):
+        h = enc._conv(h, blocks[i]["w"], dt)
+        h = (h - blocks[i]["mean"]) * (blocks[i]["inv_std"]
+                                       * blocks[i]["gamma"]) + blocks[i]["beta"]
+        if i < enc.N_CONV_BLOCKS - 1:
+            h = jax.nn.elu(h)
+            if i % 2 == 1:
+                h = enc._maxpool2(h)
+    h1 = jnp.mean(h, axis=(1, 2)).astype(jnp.float32)
+    lv1 = (h1 - p.cca.mean1).dot(p.cca.U)
+    return cca_model.length_norm(lv1)
 
 
 def pack_strip_4bit(strip_u8: np.ndarray) -> np.ndarray:
@@ -124,7 +195,8 @@ def unpack_strip_4bit(packed: jnp.ndarray) -> jnp.ndarray:
 
 
 def make_strip_embedder_packed(params, cfg, *, center_crop: int | None = None,
-                               gather_half: bool = False):
+                               gather_half: bool = False,
+                               fullconv: bool = False):
     """4-bit-packed variant of make_strip_embedder: the host uploads the
     packed strip (half the bytes); unpacking fuses into the same program."""
     crop_h = center_crop or cfg.input_shape_1[1]
@@ -132,7 +204,7 @@ def make_strip_embedder_packed(params, cfg, *, center_crop: int | None = None,
     @jax.jit
     def embed_p(p, packed: jnp.ndarray, starts: jnp.ndarray):
         return _strip_embed_core(p, packed, starts, cfg, True, crop_h,
-                                 gather_half)
+                                 gather_half, fullconv)
 
     params = jax.device_put(params)
 
@@ -243,7 +315,8 @@ def rle_bitmap_decode_device(bitmap: jnp.ndarray, values: jnp.ndarray,
 
 def make_strip_embedder_rle(params, cfg, strip_shape,
                             *, center_crop: int | None = None,
-                            gather_half: bool = False):
+                            gather_half: bool = False,
+                            fullconv: bool = False):
     """Lossless-RLE variant of make_strip_embedder: the host uploads
     (values, lengths) from rle_encode_strip; decode fuses into the same
     program as crop/gather/prepare/encoder. ``strip_shape`` (H, W) is static
@@ -256,7 +329,7 @@ def make_strip_embedder_rle(params, cfg, strip_shape,
                 starts: jnp.ndarray):
         strip = rle_decode_device(values, lengths, h, w)
         return _strip_embed_core(p, strip, starts, cfg, False, crop_h,
-                                 gather_half)
+                                 gather_half, fullconv)
 
     params = jax.device_put(params)
 
@@ -268,7 +341,8 @@ def make_strip_embedder_rle(params, cfg, strip_shape,
 
 def make_strip_embedder_rle_batched(params, cfg, strip_shape,
                                     *, center_crop: int | None = None,
-                                    gather_half: bool = False):
+                                    gather_half: bool = False,
+                                    fullconv: bool = False):
     """Corpus-batched RLE variant: ALL pieces' (values, lengths) payloads
     are stacked to [P, R] and uploaded in ONE transfer each; per-piece
     embedding selects its row on device. On high-latency links (tunneled
@@ -284,7 +358,7 @@ def make_strip_embedder_rle_batched(params, cfg, strip_shape,
         l = jax.lax.dynamic_index_in_dim(lens_all, idx, keepdims=False)
         strip = rle_decode_device(v, l, h, w)
         return _strip_embed_core(p, strip, starts, cfg, False, crop_h,
-                                 gather_half)
+                                 gather_half, fullconv)
 
     params = jax.device_put(params)
 
@@ -332,7 +406,8 @@ def rle_bitmap_encode_padded(strip_u8: np.ndarray, width_bucket: int = 4096):
 
 def make_strip_embedder_rle_bitmap(params, cfg, strip_shape,
                                    *, center_crop: int | None = None,
-                                   gather_half: bool = False):
+                                   gather_half: bool = False,
+                                   fullconv: bool = False):
     """Bitmap-RLE strip embedder (see rle_bitmap_encode_strip): fast
     on-device decode fused with crop/gather/prepare/encoder."""
     crop_h = center_crop or cfg.input_shape_1[1]
@@ -342,7 +417,7 @@ def make_strip_embedder_rle_bitmap(params, cfg, strip_shape,
     def embed_p(p, bitmap, values, starts):
         strip = rle_bitmap_decode_device(bitmap, values, h, w)
         return _strip_embed_core(p, strip, starts, cfg, False, crop_h,
-                                 gather_half)
+                                 gather_half, fullconv)
 
     params = jax.device_put(params)
 
@@ -354,7 +429,8 @@ def make_strip_embedder_rle_bitmap(params, cfg, strip_shape,
 
 def make_strip_embedder_rle_bitmap_batched(params, cfg, strip_shape,
                                            *, center_crop: int | None = None,
-                                           gather_half: bool = False):
+                                           gather_half: bool = False,
+                                           fullconv: bool = False):
     """Corpus-batched bitmap-RLE embedder: stacked [P, N/8] bitmaps +
     [P, R] values upload in one transfer each; per-piece embeds select
     their row on device (amortizes per-transfer RPC latency)."""
@@ -367,7 +443,7 @@ def make_strip_embedder_rle_bitmap_batched(params, cfg, strip_shape,
         v = jax.lax.dynamic_index_in_dim(values_all, idx, keepdims=False)
         strip = rle_bitmap_decode_device(bm, v, h, w)
         return _strip_embed_core(p, strip, starts, cfg, False, crop_h,
-                                 gather_half)
+                                 gather_half, fullconv)
 
     params = jax.device_put(params)
 

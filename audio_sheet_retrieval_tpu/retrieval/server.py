@@ -195,7 +195,7 @@ class AudioSheetServer:
 
     def initialize_sheet_db_from_imges_device(
             self, pieces: Sequence[str], scores: Sequence[np.ndarray],
-            *, width_bucket: int = 4096) -> None:
+            *, width_bucket: int = 4096, fullconv: bool = False) -> None:
         """Fast-path sheet DB build: each unrolled strip uploads ONCE
         (lossless bitmap-RLE), sliding windows + embedding run fused on
         device, and the codes stay device-resident — no per-window upload
@@ -232,8 +232,12 @@ class AudioSheetServer:
             # per payload shape under one shared params device_put
             key = (sh, wb)
             if key not in embedders:
+                # fullconv: strip-level first conv block (75%-overlap
+                # elimination; cosine >= 0.999 vs per-window — see
+                # ops.windows._strip_embed_core_fullconv)
                 embedders[key] = win.make_strip_embedder_rle_bitmap(
-                    wrapper.params, wrapper.cfg, (sh, wb), center_crop=h)
+                    wrapper.params, wrapper.cfg, (sh, wb), center_crop=h,
+                    fullconv=fullconv)
             c = embedders[key](jnp.asarray(bm), jnp.asarray(vals),
                                jnp.asarray(starts_pad))
             codes.append(c[:len(starts)])

@@ -344,7 +344,7 @@ def main():
         win.pack_strip_4bit(raw_strips[0]) if pack4 else raw_strips[0])
     n_reps = 50
 
-    def make_ceiling_scan(ccfg, gather_half=False):
+    def make_ceiling_scan(ccfg, gather_half=False, fullconv=False):
         @jax.jit
         def ceiling_scan(p, strip, starts):
             # vary the windows per iteration: a loop-invariant body would be
@@ -352,15 +352,16 @@ def main():
             def body(c, i):
                 r = win._strip_embed_core(p, strip, starts + i % 8, ccfg,
                                           pack4, 160,
-                                          gather_half=gather_half)
+                                          gather_half=gather_half,
+                                          fullconv=fullconv)
                 return c + r.astype(jnp.float32).sum(), 0
             return jax.lax.scan(body, 0.0, jnp.arange(n_reps))[0]
         return ceiling_scan
 
     params_dev = jax.device_put(params)
 
-    def measure_ceiling(ccfg, gather_half=False):
-        scan = make_ceiling_scan(ccfg, gather_half)
+    def measure_ceiling(ccfg, gather_half=False, fullconv=False):
+        scan = make_ceiling_scan(ccfg, gather_half, fullconv)
         float(scan(params_dev, strip_dev, sheet_starts_d))
         t0 = time.perf_counter()
         float(scan(params_dev, strip_dev, sheet_starts_d))
@@ -371,12 +372,19 @@ def main():
     # capstone) is conv-bound ~3x faster; ingress is ~10% of the f32 time
     # (scripts/ceiling_probe.py decomposition)
     cfg_bf16 = dataclasses.replace(cfg, compute_dtype="bfloat16")
-    # serving fast path: bf16 + half-res window gather (bit-identical to
-    # prepare for the even serving strides — test_windows.py)
-    ceiling_bf16 = (measure_ceiling(cfg_bf16, gather_half=True)
-                    if dtype == "float32" else ceiling)
+    # serving fast paths: bf16 + half-res window gather (bit-identical to
+    # prepare for the even serving strides — test_windows.py), and
+    # additionally strip-level block-1 ('fullconv': the 75%-overlapping
+    # windows share one first-conv-block pass; cosine >= 0.999 A/B)
+    if dtype == "float32":
+        ceiling_bf16 = measure_ceiling(cfg_bf16, gather_half=True)
+        ceiling_fc = measure_ceiling(cfg_bf16, fullconv=True)
+    else:
+        ceiling_bf16 = ceiling
+        ceiling_fc = measure_ceiling(cfg, fullconv=True)
     log(f"device-resident sheet ceiling: {ceiling:,.0f} emb/s "
-        f"({dtype}); bf16 serving mode: {ceiling_bf16:,.0f} emb/s")
+        f"({dtype}); bf16 serving mode: {ceiling_bf16:,.0f} emb/s; "
+        f"bf16 fullconv (strip-level block 1): {ceiling_fc:,.0f} emb/s")
 
     # piece-ID query latency: full detect_score (100 excerpts vs a
     # 100k-snippet gallery, top-25 + vote) fused into ONE dispatch;
@@ -527,6 +535,8 @@ def main():
             "emb_per_s_at_ref_40MBps": round(emb_per_mb * 40.0, 1),
             "device_resident_sheet_emb_per_s": round(ceiling, 1),
             "device_resident_sheet_emb_per_s_bf16": round(ceiling_bf16, 1),
+            "device_resident_sheet_emb_per_s_bf16_fullconv": round(
+                ceiling_fc, 1),
             "piece_id_query_p50_ms": round(p50, 2),
             "piece_id_query_p50_ms_raw_audio": round(p50_raw, 2),
             "piece_id_query_p50_ms_bf16": round(p50_bf16, 2),

@@ -384,3 +384,35 @@ def test_rle_codecs_edge_shapes():
         out2 = np.asarray(windows.rle_bitmap_decode_device(
             jnp.asarray(bm), jnp.asarray(vals), *s.shape))
         np.testing.assert_array_equal(out2, s)
+
+
+def test_fullconv_strip_embedder_close_to_standard():
+    """Strip-level first-block fast path (fullconv): block-2 inputs are
+    identical except the 2 border columns (window SAME-pad vs true strip
+    neighbors), so embeddings must agree to high cosine; the interior
+    block-2 input columns must be BIT-identical."""
+    cfg = get_model_config("mutopia_ccal_cont_rsz", num_filters=4,
+                           dim_latent=8)
+    params = cca_model.init_model(jax.random.PRNGKey(4), cfg)
+    params = params._replace(cca=params.cca._replace(
+        U=jnp.eye(cfg.dim_latent), V=jnp.eye(cfg.dim_latent)))
+    rng = np.random.default_rng(19)
+    strip = np.full((200, 2000), 255, np.uint8)
+    for x in rng.integers(0, 1900, 120):
+        strip[rng.integers(20, 170):, x:x + 5][:12] = rng.integers(0, 80)
+    starts = jnp.asarray(np.arange(0, 1760, 50, dtype=np.int32))  # even
+
+    std = np.asarray(windows.make_strip_embedder(
+        params, cfg, center_crop=160)(jnp.asarray(strip), starts))
+    fc = np.asarray(windows.make_strip_embedder(
+        params, cfg, center_crop=160, fullconv=True)(
+        jnp.asarray(strip), starts))
+    cos = np.sum(std * fc, axis=1)
+    assert cos.min() > 0.999, cos.min()
+
+    # the RLE-bitmap serving factory honors the flag identically
+    bm, vals = windows.rle_bitmap_encode_strip(strip)
+    fc2 = np.asarray(windows.make_strip_embedder_rle_bitmap(
+        params, cfg, strip.shape, center_crop=160, fullconv=True)(
+        jnp.asarray(bm), jnp.asarray(vals), starts))
+    np.testing.assert_array_equal(fc, fc2)
