@@ -22,6 +22,7 @@ import numpy as np
 
 def piece_id_accuracy(params, cfg, images: Sequence[np.ndarray],
                       specs: Sequence[np.ndarray], *,
+                      coords: Sequence[np.ndarray] = None,
                       n_candidates: int = 25, queries_per_piece: int = 3,
                       excerpts_per_query: int = 25,
                       quantize: int = 16) -> Dict:
@@ -30,7 +31,13 @@ def piece_id_accuracy(params, cfg, images: Sequence[np.ndarray],
     (set cfg.compute_dtype to A/B dtypes).
 
     ``images``: per-piece [H, W] uint8 unrolled strips (gallery);
-    ``specs``: per-piece [bins, T] float32 spectrograms (queries).
+    ``specs``: per-piece [bins, T] float32 spectrograms (queries);
+    ``coords``: optional per-piece notehead x-coordinates — when given,
+    gallery snippets center on them (the reference's initialize_sheet_db
+    builds its DB from the onset-aligned pool, audio_sheet_server.py:
+    309-354, which matches the training distribution and ranks much
+    better than uniform stride windows); otherwise stride context//4
+    sliding windows (the from_imges path, :403-445).
     Strip/spec geometries are padded to common shapes so each jitted
     program compiles exactly once.
     """
@@ -50,8 +57,15 @@ def piece_id_accuracy(params, cfg, images: Sequence[np.ndarray],
 
     # gallery: pad strips to one common width -> one embed program
     w_max = max(im.shape[1] for im in images)
-    n_starts = [len(win.stride_starts(im.shape[1], sheet_w, sheet_w // 4))
-                for im in images]
+    if coords is not None:
+        starts_list = [
+            np.clip(np.asarray(c, np.int64) - sheet_w // 2, 0,
+                    im.shape[1] - sheet_w).astype(np.int32)
+            for c, im in zip(coords, images)]
+    else:
+        starts_list = [win.stride_starts(im.shape[1], sheet_w, sheet_w // 4)
+                       for im in images]
+    n_starts = [len(s) for s in starts_list]
     ns_max = max(n_starts)
     embed = win.make_strip_embedder(params, cfg, center_crop=160)
     codes, ids = [], []
@@ -59,8 +73,7 @@ def piece_id_accuracy(params, cfg, images: Sequence[np.ndarray],
         padded = np.full((im.shape[0], w_max), 255, np.uint8)
         padded[:, :im.shape[1]] = im
         st = np.zeros(ns_max, np.int32)
-        st[:n_starts[p]] = win.stride_starts(im.shape[1], sheet_w,
-                                             sheet_w // 4)
+        st[:n_starts[p]] = starts_list[p]
         c = np.asarray(embed(jnp.asarray(padded), jnp.asarray(st)))
         codes.append(c[:n_starts[p]])
         ids.append(np.full(n_starts[p], p, np.int64))

@@ -465,7 +465,8 @@ def main():
         te = synthetic.make_piece_list(26, 60, n_performances=1,
                                        n_onsets=200)
         te_specs = [sp[0] for sp in te[1]]
-        kw = dict(queries_per_piece=1, excerpts_per_query=100,
+        kw = dict(coords=[oc[0][:, 1] for oc in te[2]],  # onset-aligned
+                  queries_per_piece=1, excerpts_per_query=100,
                   quantize=q_bits)
         acc_f32 = piece_id_accuracy(t_params, cfg, te[0], te_specs, **kw)
         acc_bf16 = piece_id_accuracy(t_params, cfg_bf16, te[0], te_specs,

@@ -196,11 +196,12 @@ def main(argv=None):
         ab = synthetic.make_piece_list(args.seed + 3, 60,
                                        n_performances=1, n_onsets=200)
         ab_specs = [sp[0] for sp in ab[1]]
+        ab_coords = [oc[0][:, 1] for oc in ab[2]]  # onset-aligned gallery
         out["serving_ab"] = {}
         for dt in ("float32", "bfloat16"):
             acc = piece_id_accuracy(
                 refined, dataclasses.replace(cfg, compute_dtype=dt),
-                ab[0], ab_specs, queries_per_piece=1,
+                ab[0], ab_specs, coords=ab_coords, queries_per_piece=1,
                 excerpts_per_query=100)
             out["serving_ab"][dt] = acc
             print(f"serving piece-ID [{dt}]: rank<=1 {acc['rank1']}/"

@@ -127,6 +127,40 @@ def main(argv=None):
             return st, obj + sum(g.astype(jnp.float32).sum()
                                  for g in leaves)
 
+        def v_grad_sg(st, x1p, x2p):
+            """value_and_grad with the whitening chain CUT from backward:
+            project with the stop_gradient'ed state the layer emits (the
+            forward whitening still runs; dU/dH, dV/dH do not)."""
+            from audio_sheet_retrieval_tpu.models import encoder as enc_mod
+            from audio_sheet_retrieval_tpu.ops import cca as cca_ops
+
+            dtj = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" \
+                else jnp.float32
+
+            def loss_sg(trainable):
+                params_ = ts.merge_params(trainable, st.non_trainable, cfg)
+                h1, _ = enc_mod.encoder_apply(
+                    params_.view1, x1p, train=True, compute_dtype=dtj,
+                    bn_epsilon=cfg.bn_epsilon, bn_alpha=cfg.bn_alpha)
+                h2, _ = enc_mod.encoder_apply(
+                    params_.view2, x2p, train=True, compute_dtype=dtj,
+                    bn_epsilon=cfg.bn_epsilon, bn_alpha=cfg.bn_alpha)
+                whit = cfg.whitening if cfg.weight_tno == 0.0 else "eigh"
+                _, _, ncca, _ = cca_ops.cca_layer_train(
+                    h1, h2, params_.cca, r1=cfg.r1, r2=cfg.r2, rT=cfg.rT,
+                    alpha=cfg.alpha, whitening=whit)
+                lv1 = cca_model.length_norm((h1 - ncca.mean1).dot(ncca.U))
+                lv2 = cca_model.length_norm((h2 - ncca.mean2).dot(ncca.V))
+                obj = losses.contrastive_cos_loss(
+                    lv1, lv2, weight=loss_weight, gamma=cfg.gamma)
+                if cfg.l2:
+                    obj = obj + cfg.l2 * ts.l2_penalty(trainable)
+                return obj
+
+            obj, grads = jax.value_and_grad(loss_sg)(st.trainable)
+            return st, obj + sum(g.astype(jnp.float32).sum()
+                                 for g in jax.tree.leaves(grads))
+
         def v_step(st, x1p, x2p):
             (obj, new_params), grads = jax.value_and_grad(
                 full_loss, has_aux=True)(st.trainable, st.non_trainable,
@@ -141,7 +175,7 @@ def main(argv=None):
         variants = {"A_assemble": v_assemble, "B1_fwd_v1": v_fwd1,
                     "B2_fwd_v2": v_fwd2, "Bcca_forward": v_cca,
                     "Bloss_loss": v_loss, "C_grad": v_grad,
-                    "D_step": v_step}
+                    "C2_grad_stopUV": v_grad_sg, "D_step": v_step}
 
         idx = (np.arange(n_b * cfg.batch_size) % pool.shape[0]).reshape(
             n_b, cfg.batch_size)
@@ -182,6 +216,7 @@ def main(argv=None):
                                 - t["B2_fwd_v2"] + t["A_assemble"]),
             "ranking_loss": t["Bloss_loss"] - t["Bcca_forward"],
             "backward": t["C_grad"] - t["Bloss_loss"],
+            "backward_whitening_chain": t["C_grad"] - t["C2_grad_stopUV"],
             "adam_update": t["D_step"] - t["C_grad"],
         }
         total = t["D_step"]
