@@ -78,9 +78,11 @@ def forward_train(
         # polar whitening changes the monitored corr semantics; with a
         # nonzero corr-loss weight the reference eigh form is required
         whitening = cfg.whitening if cfg.weight_tno == 0.0 else "eigh"
+        # a nonzero corr-loss weight needs grads through the whitening
+        grad_mode = cfg.cca_grad if cfg.weight_tno == 0.0 else "full"
         lv1, lv2, new_cca, corr = cca_ops.cca_layer_train(
             h1, h2, params.cca, r1=cfg.r1, r2=cfg.r2, rT=cfg.rT,
-            alpha=cfg.alpha, whitening=whitening)
+            alpha=cfg.alpha, whitening=whitening, grad_mode=grad_mode)
     else:
         # LearnedCCALayer: U/V are trainable; batch-mean centering in train
         # mode, running means updated with alpha (lasagne cca.py:239-323)

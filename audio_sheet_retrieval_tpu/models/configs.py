@@ -49,6 +49,10 @@ class ModelConfig:
     whitening: str = "polar"      # CCA layer whitening: "polar" (TPU-fast
     #                               Newton-Schulz; loss/metrics equivalent,
     #                               see PARITY.md) or "eigh" (reference form)
+    cca_grad: str = "full"        # "full": differentiate through the
+    #                               whitening chain (reference parity);
+    #                               "projection": stop-grad U/V/means —
+    #                               ~45% faster updates, A/B'd in capstone
     bn_epsilon: float = 1e-4      # lasagne BatchNormLayer default
     bn_alpha: float = 1e-2        # running-average rate for BN stats
 

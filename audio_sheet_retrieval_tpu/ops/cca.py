@@ -272,6 +272,7 @@ def cca_layer_train(
     rT: float = DEFAULT_RT,
     alpha: float = 1.0,
     whitening: str = "eigh",
+    grad_mode: str = "full",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, CCAState, jnp.ndarray]:
     """Training-mode CCA layer (reference lasagne cca.py:91-203).
 
@@ -292,10 +293,24 @@ def cca_layer_train(
         diag(WᵀT) (same sum as the singular values). Requires wl == 0
         (true for all shipped models).
 
+    ``grad_mode``:
+      * "full" (default, reference parity) — gradients flow through the
+        whitening chain: U, V are functions of the batch statistics and
+        Theano differentiated through them (lasagne cca.py computes U/V
+        symbolically inside the training graph).
+      * "projection" — U/V/means are treated as constants of the step
+        (stop_gradient); encoder gradients flow only through the
+        projection matmul. Cuts the whitening chain (a long sequence of
+        32x32 matmul VJPs) out of backward — measured ~45% faster bf16
+        updates (scripts/train_probe.py C2 variant) — at the cost of a
+        deliberately different (documented) training dynamic; A/B'd for
+        end-quality in scripts/capstone.py --cca_grad.
+
     Returns (lv1, lv2, new_state, corr). The caller treats ``new_state`` as
     non-differentiable (the Theano original updated shared variables
     out-of-band).
     """
+    assert grad_mode in ("full", "projection"), grad_mode
     f32 = jnp.float32
     H1 = H1.astype(f32)
     H2 = H2.astype(f32)
@@ -350,8 +365,14 @@ def cca_layer_train(
     else:  # pragma: no cover
         raise ValueError(f"unknown whitening: {whitening}")
 
-    lv1 = H1bar.dot(U)
-    lv2 = H2bar.dot(V)
+    if grad_mode == "projection":
+        lv1 = (H1 - jax.lax.stop_gradient(mean1)).dot(
+            jax.lax.stop_gradient(U))
+        lv2 = (H2 - jax.lax.stop_gradient(mean2)).dot(
+            jax.lax.stop_gradient(V))
+    else:
+        lv1 = H1bar.dot(U)
+        lv2 = H2bar.dot(V)
 
     new_state = CCAState(
         U=jax.lax.stop_gradient(U),

@@ -148,11 +148,14 @@ def _strip_embed_core_fullconv(p, strip, starts, cfg, crop_h: int):
         h = (h - blocks[i]["mean"]) * (blocks[i]["inv_std"]
                                        * blocks[i]["gamma"]) + blocks[i]["beta"]
         h = jax.nn.elu(h)
-    # horizontally-dense pool: [1, H/2, W2, C] -> [H/4, W2-1, C]
+    # horizontally-dense pool: [1, H/2, W2, C] -> [H/4, W2-1, C]; the
+    # window gather moves C(=24)x the bytes of the pixel gather, so the
+    # plane is gathered at the compute dtype (bf16 halves the traffic;
+    # the next conv casts to it anyway)
     q = jax.lax.reduce_window(
         h, -jnp.inf, jax.lax.max,
         window_dimensions=(1, 2, 2, 1), window_strides=(1, 2, 1, 1),
-        padding="VALID")[0]
+        padding="VALID")[0].astype(dt)
     n_cols = window // 2 // 2  # block-2 window width
     cols = (starts // 2)[:, None] + 2 * jnp.arange(n_cols)[None, :]
     wins = jnp.transpose(q[:, cols], (1, 0, 2, 3))     # [N, H/4, n_cols, C]

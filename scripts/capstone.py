@@ -30,6 +30,8 @@ def main(argv=None):
     p.add_argument("--compute_dtype", default="bfloat16",
                    choices=["float32", "bfloat16"])
     p.add_argument("--whitening", default="polar", choices=["polar", "eigh"])
+    p.add_argument("--cca_grad", default="full",
+                   choices=["full", "projection"])
     p.add_argument("--n_train_pieces", type=int, default=200)
     p.add_argument("--n_eval_pieces", type=int, default=20)
     p.add_argument("--max_epochs", type=int, default=40)
@@ -60,6 +62,7 @@ def main(argv=None):
     cfg = get_model_config("mutopia_ccal_cont_rsz")
     cfg = dataclasses.replace(cfg, compute_dtype=args.compute_dtype,
                               whitening=args.whitening,
+                              cca_grad=args.cca_grad,
                               max_epochs=args.max_epochs)
 
     t0 = time.time()
@@ -116,6 +119,7 @@ def main(argv=None):
 
     out = {
         "dtype": args.compute_dtype, "whitening": args.whitening,
+        "cca_grad": args.cca_grad,
         "entities": int(n_entities), "train_secs": round(train_secs, 1),
         "val_mrr": round(float(best_map), 4),
         "s2a": metrics(lv1, lv2), "a2s": metrics(lv2, lv1),

@@ -196,3 +196,45 @@ def jnp_arr(x):
     import jax.numpy as jnp
 
     return jnp.asarray(x)
+
+
+def test_cca_layer_projection_grad_mode():
+    """grad_mode='projection' (fast training recipe): gradients equal the
+    whitening-frozen analytic gradient — the U/V/mean chain is cut — and
+    differ from the full reference-parity gradient; forward values are
+    identical in both modes."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    H1 = jnp.asarray(rng.standard_normal((24, 6)), jnp.float32)
+    H2 = jnp.asarray(rng.standard_normal((24, 6)), jnp.float32)
+    state = cca.CCAState.zeros(6)
+
+    lv1_f, lv2_f, new_state, _ = cca.cca_layer_train(
+        H1, H2, state, whitening="polar")
+    lv1_p, lv2_p, _, _ = cca.cca_layer_train(
+        H1, H2, state, whitening="polar", grad_mode="projection")
+    np.testing.assert_allclose(np.asarray(lv1_f), np.asarray(lv1_p),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(lv2_f), np.asarray(lv2_p),
+                               atol=1e-6)
+
+    def loss(h1, mode):
+        a, b, _, _ = cca.cca_layer_train(h1, H2, state, whitening="polar",
+                                         grad_mode=mode)
+        return jnp.sum(a * b)
+
+    g_proj = jax.grad(lambda h: loss(h, "projection"))(H1)
+    g_full = jax.grad(lambda h: loss(h, "full"))(H1)
+
+    def loss_frozen(h1):
+        a = (h1 - new_state.mean1).dot(new_state.U)
+        b = (H2 - new_state.mean2).dot(new_state.V)
+        return jnp.sum(a * b)
+
+    g_frozen = jax.grad(loss_frozen)(H1)
+    np.testing.assert_allclose(np.asarray(g_proj), np.asarray(g_frozen),
+                               atol=1e-5)
+    assert not np.allclose(np.asarray(g_proj), np.asarray(g_full),
+                           atol=1e-3)
