@@ -54,8 +54,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         choices=["full", "projection"],
                         help="gradient flow through the CCA whitening "
                              "(full: reference parity; projection: "
-                             "stop-grad U/V — ~45% faster updates, "
-                             "quality A/B'd in scripts/capstone.py)")
+                             "stop-grad U/V — an ablation knob; measured "
+                             "speed-neutral, see ops/cca.py)")
     parser.add_argument("--host_data", action="store_true",
                         help="disable the device-resident data path (keep "
                              "per-batch host preparation like the reference)")

@@ -52,7 +52,8 @@ class ModelConfig:
     cca_grad: str = "full"        # "full": differentiate through the
     #                               whitening chain (reference parity);
     #                               "projection": stop-grad U/V/means —
-    #                               ~45% faster updates, A/B'd in capstone
+    #                               an ablation knob (measured speed-
+    #                               neutral; see ops/cca.py docstring)
     bn_epsilon: float = 1e-4      # lasagne BatchNormLayer default
     bn_alpha: float = 1e-2        # running-average rate for BN stats
 

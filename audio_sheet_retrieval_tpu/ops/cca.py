@@ -300,11 +300,12 @@ def cca_layer_train(
         symbolically inside the training graph).
       * "projection" — U/V/means are treated as constants of the step
         (stop_gradient); encoder gradients flow only through the
-        projection matmul. Cuts the whitening chain (a long sequence of
-        32x32 matmul VJPs) out of backward — measured ~45% faster bf16
-        updates (scripts/train_probe.py C2 variant) — at the cost of a
-        deliberately different (documented) training dynamic; A/B'd for
-        end-quality in scripts/capstone.py --cca_grad.
+        projection matmul — a deliberately different (documented)
+        training dynamic, A/B-able in scripts/capstone.py --cca_grad.
+        MEASURED (scripts/train_probe.py C2 variant): the whitening VJP
+        chain costs only ~0.2 ms of the 4.2 ms bf16 backward, so this
+        mode is an ABLATION KNOB, not a speed lever — XLA differentiates
+        the 32x32 Newton-Schulz chain essentially for free.
 
     Returns (lv1, lv2, new_state, corr). The caller treats ``new_state`` as
     non-differentiable (the Theano original updated shared variables

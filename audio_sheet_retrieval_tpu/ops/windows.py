@@ -123,11 +123,21 @@ def _strip_embed_core_fullconv(p, strip, starts, cfg, crop_h: int):
     Deviation vs the per-window path (measured, tests/test_windows.py):
     a window's own conv SAME-pads its 1-px borders with zeros while the
     strip conv sees the true neighboring pixels, so the 2 border columns
-    of the 50-column block-2 input differ — embedding cosine >= 0.9999
-    on the reference checkpoint; opt-in via ``fullconv=True`` like the
-    bf16 serving mode (s2d folding was measured a wash on the MXU —
-    scripts/s2d_probe.py — this overlap elimination is the lever that
-    pays).
+    of the 50-column block-2 input differ — embedding cosine >= 0.999.
+
+    MEASURED NEGATIVE RESULT on v5e (scripts/fullconv_probe.py, kept as
+    the evidence artifact for the ceiling analysis): 50.1k emb/s bf16 vs
+    110.5k for the standard half-gather path (f32: 19.5k vs 32.9k). The
+    eliminated block-1 overlap is only ~0.7 ms of the 3.6 ms bf16 window
+    budget (s2d_probe per-conv times), while gathering 24-channel
+    feature windows moves 3x the bytes of the half-res pixel gather and
+    its transposed middle-axis gather lowers poorly — the redundancy
+    cannot be monetized at this window geometry. Extending the strip
+    computation past block 2 is blocked by pool-grid alignment (serving
+    stride 25 at half-res is not divisible by the stride-4 feature
+    grid). Space-to-depth was likewise measured a wash
+    (scripts/s2d_probe.py), so ~110k emb/s bf16 stands as the practical
+    single-chip ceiling for this encoder geometry.
     """
     from audio_sheet_retrieval_tpu.models import cca_model
     from audio_sheet_retrieval_tpu.models import encoder as enc
