@@ -50,12 +50,6 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         choices=["polar", "eigh"],
                         help="CCA whitening (polar: TPU-fast, loss-"
                              "equivalent; eigh: reference formulation)")
-    parser.add_argument("--cca_grad", default=None,
-                        choices=["full", "projection"],
-                        help="gradient flow through the CCA whitening "
-                             "(full: reference parity; projection: "
-                             "stop-grad U/V — an ablation knob; measured "
-                             "speed-neutral, see ops/cca.py)")
     parser.add_argument("--host_data", action="store_true",
                         help="disable the device-resident data path (keep "
                              "per-batch host preparation like the reference)")
@@ -85,8 +79,6 @@ def main(argv=None):
         overrides["compute_dtype"] = args.compute_dtype
     if args.whitening is not None:
         overrides["whitening"] = args.whitening
-    if args.cca_grad is not None:
-        overrides["cca_grad"] = args.cca_grad
     if overrides:
         model_cfg = dataclasses.replace(model_cfg, **overrides)
 

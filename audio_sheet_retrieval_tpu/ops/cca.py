@@ -300,12 +300,15 @@ def cca_layer_train(
         symbolically inside the training graph).
       * "projection" — U/V/means are treated as constants of the step
         (stop_gradient); encoder gradients flow only through the
-        projection matmul — a deliberately different (documented)
-        training dynamic, A/B-able in scripts/capstone.py --cca_grad.
-        MEASURED (scripts/train_probe.py C2 variant): the whitening VJP
-        chain costs only ~0.2 ms of the 4.2 ms bf16 backward, so this
-        mode is an ABLATION KNOB, not a speed lever — XLA differentiates
-        the 32x32 Newton-Schulz chain essentially for free.
+        projection matmul. KEPT AS A RESEARCH ABLATION with two measured
+        negative results (scripts/train_probe.py C2, scripts/capstone.py
+        --cca_grad projection): (a) speed-neutral — the whitening VJP
+        chain costs ~0.2 ms of the 4.2 ms bf16 backward (XLA
+        differentiates the 32x32 Newton-Schulz chain essentially for
+        free); (b) from-scratch training COLLAPSES without the whitening
+        sensitivity (val MRR 0.0075 vs 0.518 at 120k entities) — the
+        reference's differentiate-through-whitening dynamic is
+        load-bearing, not incidental.
 
     Returns (lv1, lv2, new_state, corr). The caller treats ``new_state`` as
     non-differentiable (the Theano original updated shared variables
