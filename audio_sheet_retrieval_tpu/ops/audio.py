@@ -154,7 +154,15 @@ class AudioProcessor:
 
         idx = starts[:, None] + np.arange(self.frame_size)[None, :]
         frames = sig[idx] * window[None, :]
-        spec = np.abs(np.fft.rfft(frames, axis=1))[:, : self.frame_size // 2]
+        try:
+            # scipy computes the rfft natively in float32 (numpy upcasts
+            # to float64 — measured ~4x slower on 60 s of audio)
+            from scipy.fft import rfft as _rfft
+
+            spec = np.abs(_rfft(frames, axis=1))[:, : self.frame_size // 2]
+        except ImportError:  # pragma: no cover
+            spec = np.abs(np.fft.rfft(frames, axis=1)
+                          )[:, : self.frame_size // 2]
         filtered = spec.astype(np.float32) @ np.asarray(self.filterbank)
         return np.log10(1.0 + filtered).astype(np.float32).T
 
