@@ -122,6 +122,7 @@ def main():
     sheet_w = cfg.input_shape_1[2]
     spec_w = cfg.input_shape_2[2]
 
+    strip_h = 160  # serving strip height (= SYSTEM_HEIGHT; see below)
     # sheet upload coding: rle (lossless, default) | pack4 (lossy 4-bit) |
     # raw. ASR_BENCH_PACK4=0 is honored for backwards compat (-> raw).
     sheet_mode = os.environ.get("ASR_BENCH_SHEET", "rle")
@@ -138,10 +139,10 @@ def main():
                                                      center_crop=160)
     elif sheet_mode == "rle":
         embed_strip = win.make_strip_embedder_rle_bitmap(
-            params, cfg, (200, width), center_crop=160)
+            params, cfg, (strip_h, width), center_crop=160)
     elif sheet_mode == "rlepairs":
-        embed_strip = win.make_strip_embedder_rle(params, cfg, (200, width),
-                                                  center_crop=160)
+        embed_strip = win.make_strip_embedder_rle(
+            params, cfg, (strip_h, width), center_crop=160)
     else:
         embed_strip = win.make_strip_embedder(params, cfg, center_crop=160)
     audio_mode = os.environ.get("ASR_BENCH_AUDIO")
@@ -176,15 +177,20 @@ def main():
     # realistic sheet content: tile the real vendored tutorial staff band to
     # the piece width (RLE wire size is content-dependent; noise strips
     # would be dishonest in either direction). Distinct roll per piece.
+    # Strips upload as the 160-row crop band the embedder would center-crop
+    # to anyway — the reference's unrolled strips ARE SYSTEM_HEIGHT=160
+    # tall (data_pools.py unwrap / umc loaders), so this is the true
+    # serving geometry and bit-identical to uploading taller strips (the
+    # start bitmap charges 1 bit/px even for all-white padding rows).
     rng = np.random.default_rng(0)
     band = _real_staff_band()  # [160, Wb] uint8
     reps = int(np.ceil(width / band.shape[1]))
     tiled = np.tile(band, (1, reps))[:, :width]
     raw_strips = []
     for p in range(n_pieces):
-        s_ = np.full((200, width), 255, np.uint8)
-        s_[20:180] = np.roll(tiled, int(rng.integers(0, width)), axis=1)
-        raw_strips.append(s_)
+        raw_strips.append(np.ascontiguousarray(
+            np.roll(tiled, int(rng.integers(0, width)), axis=1)))
+    assert raw_strips[0].shape[0] == strip_h
     if sheet_mode == "pack4":
         strips = [win.pack_strip_4bit(s_) for s_ in raw_strips]
         sheet_bytes = [s_.nbytes for s_ in strips]
@@ -233,7 +239,8 @@ def main():
     bytes_per_piece = int(np.mean(sheet_bytes)) + audio_bytes
     log(f"per piece: {len(sheet_starts)} sheet + {len(spec_starts)} audio "
         f"embeddings, {bytes_per_piece / 1e6:.2f} MB upload "
-        f"(sheet={sheet_mode}: {np.mean(sheet_bytes) / (200 * width):.3f} "
+        f"(sheet={sheet_mode}: "
+        f"{np.mean(sheet_bytes) / (strip_h * width):.3f} "
         f"B/px; audio={audio_mode}: {audio_bytes / secs / 1e3:.1f} kB/s)")
 
     # batched upload (default for compressed payloads): ALL pieces' wire
@@ -247,7 +254,7 @@ def main():
         vals_all = np.stack([a for a, _ in strips])   # bitmaps
         lens_all = np.stack([b for _, b in strips])   # values
         embed_strip_b = win.make_strip_embedder_rle_bitmap_batched(
-            params, cfg, (200, width), center_crop=160)
+            params, cfg, (strip_h, width), center_crop=160)
         if spec_upload:
             codes_all = np.stack([c for c, _ in audio_payloads])
             scales_all = np.asarray([s for _, s in audio_payloads],
@@ -556,7 +563,7 @@ def main():
                              "rlepairs": "rle-pairs-lossless",
                              "pack4": "4bit-packed"}.get(sheet_mode, "uint8"),
             "sheet_wire_bytes_per_px": round(
-                float(np.mean(sheet_bytes)) / (200 * width), 4),
+                float(np.mean(sheet_bytes)) / (strip_h * width), 4),
             "audio_upload": audio_mode,
             "audio_wire_kBps": round(audio_bytes / secs / 1e3, 2),
             "device": str(dev),
