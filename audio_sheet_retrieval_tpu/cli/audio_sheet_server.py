@@ -90,6 +90,12 @@ def build_arg_parser():
     parser.add_argument("--estimate_UV", action="store_true")
     parser.add_argument("--init_sheet_db", action="store_true")
     parser.add_argument("--full_eval", action="store_true")
+    parser.add_argument("--fused", action="store_true",
+                        help="full_eval queries through the one-dispatch "
+                             "fused spec path (detect_score_from_spec, "
+                             "u16 wire) instead of the host-chained "
+                             "detect_score — same rankings "
+                             "(tests/test_server.py), ~3x lower latency")
     parser.add_argument("--running_frames", type=int, default=100)
     parser.add_argument("--n_candidates", type=int, default=25)
     parser.add_argument("--train_split", type=str, default=None)
@@ -147,7 +153,9 @@ def main(argv=None):
         ranks = []
         for tp in te_pieces:
             spec = query_spec(tp)
-            ret_result, ret_votes = srv.detect_score(
+            detect = (srv.detect_score_from_spec if args.fused
+                      else srv.detect_score)
+            ret_result, ret_votes = detect(
                 spec, top_k=len(te_pieces), n_candidates=args.n_candidates)
             if tp in ret_result:
                 rank = ret_result.index(tp) + 1

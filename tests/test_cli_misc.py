@@ -245,3 +245,21 @@ def test_wrapper_loader_enforces_schema_gate(tmp_path):
     pk.dump(d, open(p, "wb"))
     with pytest.raises(ValueError, match="upgrade"):
         load_any_checkpoint(p, cfg)
+
+
+@pytest.mark.slow
+def test_audio_sheet_server_cli_full_eval_fused(tmp_path):
+    """The audio_sheet_server CLI's --full_eval with --fused routes
+    queries through the one-dispatch spec path and produces the same
+    ranks as the host-chained detect_score loop."""
+    from audio_sheet_retrieval_tpu import assets
+    from audio_sheet_retrieval_tpu.cli import audio_sheet_server
+
+    common = ["--data", "synthetic", "--n_test_pieces", "3",
+              "--param_file", assets.tutorial_checkpoint_path(),
+              "--db_file", str(tmp_path / "db.pkl"),
+              "--init_sheet_db", "--full_eval", "--n_candidates", "5"]
+    ranks_host = audio_sheet_server.main(common)
+    ranks_fused = audio_sheet_server.main(common + ["--fused"])
+    assert len(ranks_host) == 3 and len(ranks_fused) == 3
+    assert ranks_fused == ranks_host
