@@ -77,11 +77,13 @@ class AudioProcessor:
         self.fps = fps
         self.hop_size = sample_rate / float(fps)
         self.frame_bucket = frame_bucket
-        self.filterbank = jnp.asarray(
+        fb_host = np.asarray(
             fb.logarithmic_filterbank(sample_rate, frame_size, num_bands,
-                                      fmin, fmax),
-            jnp.float32,
-        )
+                                      fmin, fmax), np.float32)
+        # host copy for process_host: np.asarray(jnp array) would download
+        # from the device EVERY call (~0.7 s over a tunneled backend)
+        self._filterbank_host = fb_host
+        self.filterbank = jnp.asarray(fb_host, jnp.float32)
         self.num_bins = int(self.filterbank.shape[1])
         self._window = jnp.asarray(np.hanning(frame_size), jnp.float32)
 
@@ -163,7 +165,7 @@ class AudioProcessor:
         except ImportError:  # pragma: no cover
             spec = np.abs(np.fft.rfft(frames, axis=1)
                           )[:, : self.frame_size // 2]
-        filtered = spec.astype(np.float32) @ np.asarray(self.filterbank)
+        filtered = spec.astype(np.float32) @ self._filterbank_host
         return np.log10(1.0 + filtered).astype(np.float32).T
 
     def process_on_device(self, signal_f32: jnp.ndarray,
