@@ -15,6 +15,12 @@ Everything runs in-process through the real CLI mains (run_train.main,
 refine_cca.main, run_eval.main, reports.main), so the four regimes share
 one jit cache — on TPU the 2nd-4th trainings skip compilation entirely.
 
+Synthetic-data caveat: the AUGMENT audio block (synths/tempo_range)
+selects performances by LABEL at load/export time; synthetic performances
+carry no labels, so the audio-side regimes coincide here (verified:
+epoch-for-epoch identical logs for no_aug vs audio_aug). With real MSMD
+the same driver differentiates all four regimes.
+
 Usage: python scripts/full_protocol.py [--n_train_pieces 60] [...]
 Prints the table rows + one JSON line.
 """
