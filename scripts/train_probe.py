@@ -42,6 +42,13 @@ def main(argv=None):
                    choices=["float32", "bfloat16", "both"])
     p.add_argument("--batches", type=int, default=100)
     p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--batch_size", type=int, default=None,
+                   help="override the model batch size (schedule parity is "
+                        "100; larger batches amortize the fixed per-step "
+                        "costs -> report samples/s scaling)")
+    p.add_argument("--only_step", action="store_true",
+                   help="measure only the full D_step variant (cheap for "
+                        "batch-size sweeps)")
     args = p.parse_args(argv)
 
     import dataclasses
@@ -64,6 +71,8 @@ def main(argv=None):
 
     enable_compile_cache()
     base_cfg = get_model_config("mutopia_ccal_cont_rsz")
+    if args.batch_size:
+        base_cfg = dataclasses.replace(base_cfg, batch_size=args.batch_size)
     dev = jax.devices()[0]
     print(f"device: {dev}", file=sys.stderr)
 
@@ -176,6 +185,8 @@ def main(argv=None):
                     "B2_fwd_v2": v_fwd2, "Bcca_forward": v_cca,
                     "Bloss_loss": v_loss, "C_grad": v_grad,
                     "C2_grad_stopUV": v_grad_sg, "D_step": v_step}
+        if args.only_step:
+            variants = {"D_step": v_step}
 
         idx = (np.arange(n_b * cfg.batch_size) % pool.shape[0]).reshape(
             n_b, cfg.batch_size)
@@ -208,6 +219,16 @@ def main(argv=None):
                   file=sys.stderr)
 
         t = times
+        if args.only_step:
+            total = t["D_step"]
+            sps = cfg.batch_size * 1000.0 / total
+            print(f"  batch {cfg.batch_size}: {total:.2f} ms/update, "
+                  f"{1000.0 / total:.1f} ups, {sps:,.0f} samples/s",
+                  file=sys.stderr)
+            return {"raw_ms": {k: round(v, 4) for k, v in t.items()},
+                    "batch_size": cfg.batch_size,
+                    "samples_per_s": round(sps, 1),
+                    "updates_per_s": round(1000.0 / total, 1)}
         comp = {
             "assembly": t["A_assemble"],
             "fwd_v1": t["B1_fwd_v1"] - t["A_assemble"],
