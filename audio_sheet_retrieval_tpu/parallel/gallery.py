@@ -94,6 +94,66 @@ def sharded_gallery_search(mesh: Mesh, gallery: np.ndarray,
     return np.where(valid, s, -np.inf), np.where(valid, i, 0)
 
 
+def make_sharded_piece_query(mesh: Mesh, params, cfg, gallery: np.ndarray,
+                             ids: np.ndarray, n_pieces: int, *,
+                             n_candidates: int = 25, axis: str = DB_AXIS,
+                             quantized: bool = True):
+    """Pod-scale fused detect_score: ONE jitted program per query with the
+    snippet gallery PARTITIONED row-wise across the mesh.
+
+    The single-chip serving path (retrieval.gallery.make_fused_piece_query
+    _spec) holds the whole gallery in one HBM; beyond ~10M snippets the
+    rows must shard. Here the query spec payload is replicated, the
+    excerpt embedding runs under GSPMD, and the gallery top-k runs as a
+    shard_map: local [Q, N/m] matmul + local top-k, candidate exchange
+    over ICI (all_gather of k*m rows/query instead of N), global re-rank,
+    then the piece-id vote histogram — numerically identical counts to
+    the single-chip program (tests/test_parallel.py).
+
+    Returns query(payload [bins, T], scale, starts) -> counts [n_pieces].
+    """
+    from audio_sheet_retrieval_tpu.models import cca_model
+    from audio_sheet_retrieval_tpu.ops.windows import (
+        gather_windows,
+        spec_dequantize_device,
+    )
+    from audio_sheet_retrieval_tpu.train.engine import prepare_view2_device
+
+    window = cfg.input_shape_2[2]
+    n, d = gallery.shape
+    m = mesh.shape[axis]
+    k = min(n_candidates, n)
+    n_pad = int(np.ceil(n / m) * m)
+    g = np.zeros((n_pad, d), np.float32)
+    g[:n] = np.asarray(gallery, np.float32)
+    norms = np.linalg.norm(g, axis=1, keepdims=True)
+    g = g / np.where(norms == 0, 1.0, norms)
+    gal_dev = jax.device_put(g, NamedSharding(mesh, P(axis, None)))
+    ids_pad = np.full(n_pad, n_pieces, np.int32)  # padding -> overflow bin
+    ids_pad[:n] = np.asarray(ids, np.int32)
+    ids_dev = jax.device_put(ids_pad, NamedSharding(mesh, P(None)))
+    topk_fn, _ = make_sharded_topk(mesh, k, axis, n_real=n)
+
+    @jax.jit
+    def q(p, gal, idtab, payload, scale, starts):
+        spec = (spec_dequantize_device(payload, scale) if quantized
+                else payload.astype(jnp.float32))
+        wins = gather_windows(spec, starts, window)
+        codes = cca_model.embed_view2(
+            p, prepare_view2_device(wins[:, None, :, :]), cfg)
+        _, idx = topk_fn(gal, codes.astype(jnp.float32))
+        pid = idtab[idx]
+        return jnp.sum(pid[..., None] == jnp.arange(n_pieces), axis=(0, 1))
+
+    params = jax.device_put(params)
+
+    def query(payload, scale, starts):
+        return q(params, gal_dev, ids_dev, payload, jnp.float32(scale),
+                 starts)
+
+    return query
+
+
 def make_sharded_cca_moments(mesh: Mesh, axis: str = "data"):
     """Jitted exact CCA sufficient statistics over a sample-sharded pair of
     latent matrices: per-shard sums + one psum."""

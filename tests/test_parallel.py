@@ -135,3 +135,42 @@ def test_hybrid_mesh_axes_and_training():
     q = rng.standard_normal((3, 8)).astype(np.float32)
     s, i = pg.sharded_gallery_search(sub, g, q, k=4, axis=pm.DB_AXIS)
     assert np.isfinite(s).all() and i.shape == (3, 4)
+
+
+def test_sharded_piece_query_matches_single_chip(mesh8):
+    """Pod-scale fused detect_score (gallery partitioned over the db axis,
+    local top-k + all_gather re-rank + vote) produces the SAME per-piece
+    counts as the single-chip fused spec query."""
+    import jax.numpy as jnp
+
+    from audio_sheet_retrieval_tpu.models import cca_model
+    from audio_sheet_retrieval_tpu.models.configs import get_model_config
+    from audio_sheet_retrieval_tpu.ops import windows
+    from audio_sheet_retrieval_tpu.retrieval.gallery import (
+        DeviceGallery,
+        make_fused_piece_query_spec,
+    )
+
+    cfg = get_model_config("mutopia_ccal_cont_rsz", num_filters=4,
+                           dim_latent=8)
+    params = cca_model.init_model(jax.random.PRNGKey(2), cfg)
+    params = params._replace(cca=params.cca._replace(
+        U=jnp.eye(cfg.dim_latent), V=jnp.eye(cfg.dim_latent)))
+    rng = np.random.default_rng(9)
+    n, n_pieces = 1003, 37  # deliberately not divisible by 8 shards
+    codes = rng.standard_normal((n, cfg.dim_latent)).astype(np.float32)
+    ids = rng.integers(0, n_pieces, n)
+    spec = (rng.random((92, 300)) * 4).astype(np.float32)
+    payload, scale = windows.spec_quantize(spec, bits=16)
+    starts = jnp.asarray(windows.linspace_starts(300, 42, 20))
+
+    single = make_fused_piece_query_spec(
+        params, cfg, DeviceGallery(codes, ids=ids), n_pieces,
+        n_candidates=10, quantized=True)
+    want = np.asarray(single(jnp.asarray(payload), scale, starts))
+
+    sharded = pg.make_sharded_piece_query(
+        mesh8, params, cfg, codes, ids, n_pieces, n_candidates=10)
+    got = np.asarray(sharded(jnp.asarray(payload), scale, starts))
+    np.testing.assert_array_equal(got, want)
+    assert int(got.sum()) == 20 * 10  # every excerpt votes its top-10
