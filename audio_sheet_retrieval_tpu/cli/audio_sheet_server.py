@@ -153,10 +153,14 @@ def main(argv=None):
         ranks = []
         for tp in te_pieces:
             spec = query_spec(tp)
-            detect = (srv.detect_score_from_spec if args.fused
-                      else srv.detect_score)
-            ret_result, ret_votes = detect(
-                spec, top_k=len(te_pieces), n_candidates=args.n_candidates)
+            if args.fused:  # u16 wire: rank-agreement-lossless (PARITY 15)
+                ret_result, ret_votes = srv.detect_score_from_spec(
+                    spec, top_k=len(te_pieces),
+                    n_candidates=args.n_candidates, quantize=16)
+            else:
+                ret_result, ret_votes = srv.detect_score(
+                    spec, top_k=len(te_pieces),
+                    n_candidates=args.n_candidates)
             if tp in ret_result:
                 rank = ret_result.index(tp) + 1
                 ratio = ret_votes[ret_result.index(tp)]

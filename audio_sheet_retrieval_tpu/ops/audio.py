@@ -130,9 +130,9 @@ class AudioProcessor:
         mode: the reference's own architecture runs madmom on the host and
         uploads precomputed ``*_spec.npy`` spectrograms
         (reference:audio_sheet_server.py:632-636). Same framing / window /
-        rfft / filterbank / log arithmetic as the jitted core (numpy rfft
-        runs in float64, so values match the device path to ~1e-4; the
-        embedding A/B lives in tests/test_windows.py).
+        rfft / filterbank / log arithmetic as the jitted core (measured
+        max abs diff ~2e-6 on 60 s of audio; tested at 2e-4 float32
+        tolerance — the embedding A/B lives in tests/test_windows.py).
 
         Returns [num_bins, num_frames] float32.
         """

@@ -42,6 +42,10 @@ def make_sharded_topk(mesh: Mesh, k: int, axis: str = DB_AXIS,
         shard_size = gal.shape[0]
         base = jax.lax.axis_index(axis) * shard_size
         scores = jnp.dot(q, gal.T, preferred_element_type=jnp.float32)
+        # NaN queries (e.g. an untrained zero projection) must not leak
+        # padding indices — same defensive mask as the single-chip
+        # retrieval.gallery._topk_query
+        scores = jnp.where(jnp.isnan(scores), -jnp.inf, scores)
         if n_real is not None:
             col_global = base + jax.lax.broadcasted_iota(
                 jnp.int32, scores.shape, 1)
@@ -66,6 +70,17 @@ def make_sharded_topk(mesh: Mesh, k: int, axis: str = DB_AXIS,
     return jax.jit(fn), n_shards
 
 
+def _pad_normalize_gallery(gallery: np.ndarray, m: int) -> np.ndarray:
+    """Pad rows to a multiple of the shard count and L2-normalize (zero
+    padding rows stay zero => score 0; callers mask by n_real)."""
+    n, d = gallery.shape
+    n_pad = int(np.ceil(n / m) * m)
+    g = np.zeros((n_pad, d), np.float32)
+    g[:n] = gallery
+    norms = np.linalg.norm(g, axis=1, keepdims=True)
+    return g / np.where(norms == 0, 1.0, norms)
+
+
 def sharded_gallery_search(mesh: Mesh, gallery: np.ndarray,
                            queries: np.ndarray, k: int,
                            axis: str = DB_AXIS
@@ -73,14 +88,8 @@ def sharded_gallery_search(mesh: Mesh, gallery: np.ndarray,
     """One-shot exact top-k of normalized ``queries`` against a gallery
     sharded row-wise over ``axis``. Pads the gallery to a multiple of the
     shard count with -inf-scoring rows."""
-    n, d = gallery.shape
-    m = mesh.shape[axis]
-    n_pad = int(np.ceil(n / m) * m)
-    g = np.zeros((n_pad, d), np.float32)
-    g[:n] = gallery
-    # normalize rows (zero padding rows stay zero => score 0; mask below)
-    norms = np.linalg.norm(g, axis=1, keepdims=True)
-    g = g / np.where(norms == 0, 1.0, norms)
+    n = gallery.shape[0]
+    g = _pad_normalize_gallery(gallery, mesh.shape[axis])
 
     fn, _ = make_sharded_topk(mesh, k, axis, n_real=n)
     gal_dev = jax.device_put(g, NamedSharding(mesh, P(axis, None)))
@@ -112,35 +121,24 @@ def make_sharded_piece_query(mesh: Mesh, params, cfg, gallery: np.ndarray,
 
     Returns query(payload [bins, T], scale, starts) -> counts [n_pieces].
     """
-    from audio_sheet_retrieval_tpu.models import cca_model
-    from audio_sheet_retrieval_tpu.ops.windows import (
-        gather_windows,
-        spec_dequantize_device,
+    from audio_sheet_retrieval_tpu.retrieval.gallery import (
+        embed_spec_excerpts,
     )
-    from audio_sheet_retrieval_tpu.train.engine import prepare_view2_device
 
-    window = cfg.input_shape_2[2]
-    n, d = gallery.shape
-    m = mesh.shape[axis]
+    n = gallery.shape[0]
     k = min(n_candidates, n)
-    n_pad = int(np.ceil(n / m) * m)
-    g = np.zeros((n_pad, d), np.float32)
-    g[:n] = np.asarray(gallery, np.float32)
-    norms = np.linalg.norm(g, axis=1, keepdims=True)
-    g = g / np.where(norms == 0, 1.0, norms)
+    g = _pad_normalize_gallery(np.asarray(gallery, np.float32),
+                               mesh.shape[axis])
     gal_dev = jax.device_put(g, NamedSharding(mesh, P(axis, None)))
-    ids_pad = np.full(n_pad, n_pieces, np.int32)  # padding -> overflow bin
+    ids_pad = np.full(g.shape[0], n_pieces, np.int32)  # pad -> overflow bin
     ids_pad[:n] = np.asarray(ids, np.int32)
     ids_dev = jax.device_put(ids_pad, NamedSharding(mesh, P(None)))
     topk_fn, _ = make_sharded_topk(mesh, k, axis, n_real=n)
 
     @jax.jit
     def q(p, gal, idtab, payload, scale, starts):
-        spec = (spec_dequantize_device(payload, scale) if quantized
-                else payload.astype(jnp.float32))
-        wins = gather_windows(spec, starts, window)
-        codes = cca_model.embed_view2(
-            p, prepare_view2_device(wins[:, None, :, :]), cfg)
+        codes = embed_spec_excerpts(p, cfg, payload, scale, starts,
+                                    quantized)
         _, idx = topk_fn(gal, codes.astype(jnp.float32))
         pid = idtab[idx]
         return jnp.sum(pid[..., None] == jnp.arange(n_pieces), axis=(0, 1))

@@ -104,8 +104,11 @@ def piece_id_accuracy(params, cfg, images: Sequence[np.ndarray],
             t0 = time.perf_counter()
             counts = np.asarray(query(payload, scale, starts))
             lat.append(time.perf_counter() - t0)
-            order = np.argsort(counts)[::-1]  # stable: ties -> lower pid
-            rank = int(np.flatnonzero(order == p)[0]) + 1
+            # deterministic PESSIMISTIC rank: every tie counts against the
+            # true piece (argsort order on ties is sort-implementation-
+            # dependent and would make the accuracy numbers irreproducible
+            # at tie boundaries)
+            rank = int(np.sum(counts >= counts[p]))
             rank1 += rank <= 1
             rank5 += rank <= 5
             n += 1

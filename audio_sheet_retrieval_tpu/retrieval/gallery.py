@@ -167,6 +167,25 @@ def make_fused_piece_query(params, cfg, processor, gallery: "DeviceGallery",
     return query
 
 
+def embed_spec_excerpts(params, cfg, payload, scale, starts,
+                        quantized: bool):
+    """Traceable body shared by the fused spec queries (single-chip below,
+    pod-scale parallel.gallery.make_sharded_piece_query): (quantized)
+    spectrogram payload -> L2-normalized excerpt embedding codes."""
+    from audio_sheet_retrieval_tpu.models import cca_model
+    from audio_sheet_retrieval_tpu.ops.windows import (
+        gather_windows,
+        spec_dequantize_device,
+    )
+    from audio_sheet_retrieval_tpu.train.engine import prepare_view2_device
+
+    spec = (spec_dequantize_device(payload, scale) if quantized
+            else payload.astype(jnp.float32))
+    wins = gather_windows(spec, starts, cfg.input_shape_2[2])
+    return cca_model.embed_view2(
+        params, prepare_view2_device(wins[:, None, :, :]), cfg)
+
+
 def make_fused_piece_query_spec(params, cfg, gallery: "DeviceGallery",
                                 n_pieces: int, *, n_candidates: int = 25,
                                 quantized: bool = True):
@@ -184,14 +203,6 @@ def make_fused_piece_query_spec(params, cfg, gallery: "DeviceGallery",
     query(spec_or_codes [bins, T], scale, starts) -> vote counts
     [n_pieces]; pass scale=1.0 for f32 specs.
     """
-    from audio_sheet_retrieval_tpu.models import cca_model
-    from audio_sheet_retrieval_tpu.ops.windows import (
-        gather_windows,
-        spec_dequantize_device,
-    )
-    from audio_sheet_retrieval_tpu.train.engine import prepare_view2_device
-
-    window = cfg.input_shape_2[2]
     k = min(n_candidates, gallery.n)
     ids_pad = np.full(gallery.gallery_n.shape[0], n_pieces, np.int32)
     ids_pad[:gallery.n] = gallery.ids
@@ -199,11 +210,8 @@ def make_fused_piece_query_spec(params, cfg, gallery: "DeviceGallery",
 
     @jax.jit
     def q(p, gal_nt, valid, idtab, payload, scale, starts):
-        spec = (spec_dequantize_device(payload, scale) if quantized
-                else payload.astype(jnp.float32))
-        wins = gather_windows(spec, starts, window)
-        codes = cca_model.embed_view2(
-            p, prepare_view2_device(wins[:, None, :, :]), cfg)
+        codes = embed_spec_excerpts(p, cfg, payload, scale, starts,
+                                    quantized)
         scores = jnp.dot(codes.astype(jnp.float32), gal_nt,
                          preferred_element_type=jnp.float32)
         scores = jnp.where(valid[None, :] & ~jnp.isnan(scores), scores,

@@ -478,7 +478,12 @@ def main():
         kw = dict(coords=[oc[0][:, 1] for oc in te[2]],  # onset-aligned
                   queries_per_piece=1, excerpts_per_query=100,
                   quantize=q_bits)
-        acc_f32 = piece_id_accuracy(t_params, cfg, te[0], te_specs, **kw)
+        # pin the arms' dtypes explicitly: with ASR_BENCH_DTYPE=bfloat16
+        # the session cfg is already bf16 and would silently measure
+        # bf16 twice
+        cfg_f32 = dataclasses.replace(cfg, compute_dtype="float32")
+        acc_f32 = piece_id_accuracy(t_params, cfg_f32, te[0], te_specs,
+                                    **kw)
         acc_bf16 = piece_id_accuracy(t_params, cfg_bf16, te[0], te_specs,
                                      **kw)
         log(f"ground-truth piece-ID (60 held-out pieces, 100-excerpt "

@@ -22,14 +22,18 @@ if [ -n "$ASR_UMC_PARAM_FILE" ]; then
     report_path=${ASR_UMC_REPORT_PATH:-.}
 fi
 
+db_dir=$(mktemp -d)
+trap 'rm -rf "$db_dir"' EXIT
 for real in "" "--real_perf"; do
     python -m audio_sheet_retrieval_tpu.cli.umc_s2a_server \
         --model "$model" --data_dir "$data_dir" --dump_results \
         --init_audio_db --full_eval --device_db \
+        --db_file "$db_dir/umc_audio_db_file.pkl" \
         "${param_args[@]}" $real
     python -m audio_sheet_retrieval_tpu.cli.umc_a2s_server \
         --model "$model" --data_dir "$data_dir" --dump_results \
         --init_sheet_db --full_eval --device_db \
+        --db_file "$db_dir/umc_sheet_db_file.pkl" \
         "${param_args[@]}" $real
 done
 python -m audio_sheet_retrieval_tpu.cli.reports umc-piece-retrieval \
