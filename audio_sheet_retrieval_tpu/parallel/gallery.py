@@ -103,10 +103,11 @@ def sharded_gallery_search(mesh: Mesh, gallery: np.ndarray,
     return np.where(valid, s, -np.inf), np.where(valid, i, 0)
 
 
-def make_sharded_piece_query(mesh: Mesh, params, cfg, gallery: np.ndarray,
+def make_sharded_piece_query(mesh: Mesh, params, cfg, gallery,
                              ids: np.ndarray, n_pieces: int, *,
                              n_candidates: int = 25, axis: str = DB_AXIS,
-                             quantized: bool = True):
+                             quantized: bool = True,
+                             n_real: Optional[int] = None):
     """Pod-scale fused detect_score: ONE jitted program per query with the
     snippet gallery PARTITIONED row-wise across the mesh.
 
@@ -119,19 +120,40 @@ def make_sharded_piece_query(mesh: Mesh, params, cfg, gallery: np.ndarray,
     then the piece-id vote histogram — numerically identical counts to
     the single-chip program (tests/test_parallel.py).
 
+    ``gallery``: host [N, d] rows (padded/normalized/uploaded here), or a
+    DEVICE array already sharded over ``axis`` (the output of
+    build_sharded_sheet_gallery — pass its n_real so tail padding rows
+    are masked; no host round trip).
+
     Returns query(payload [bins, T], scale, starts) -> counts [n_pieces].
     """
     from audio_sheet_retrieval_tpu.retrieval.gallery import (
         embed_spec_excerpts,
     )
 
-    n = gallery.shape[0]
+    if isinstance(gallery, jax.Array) and not isinstance(gallery,
+                                                         np.ndarray):
+        assert gallery.shape[0] % mesh.shape[axis] == 0, (
+            "device gallery rows must divide the shard count (the builder "
+            "pads pieces)")
+        n = int(n_real) if n_real is not None else int(gallery.shape[0])
+
+        @jax.jit
+        def _norm(g_):
+            nn = jnp.linalg.norm(g_, axis=1, keepdims=True)
+            return g_ / jnp.where(nn == 0, 1.0, nn)
+
+        gal_dev = _norm(gallery.astype(jnp.float32))
+        total = int(gallery.shape[0])
+    else:
+        n = gallery.shape[0]
+        g = _pad_normalize_gallery(np.asarray(gallery, np.float32),
+                                   mesh.shape[axis])
+        gal_dev = jax.device_put(g, NamedSharding(mesh, P(axis, None)))
+        total = g.shape[0]
     k = min(n_candidates, n)
-    g = _pad_normalize_gallery(np.asarray(gallery, np.float32),
-                               mesh.shape[axis])
-    gal_dev = jax.device_put(g, NamedSharding(mesh, P(axis, None)))
-    ids_pad = np.full(g.shape[0], n_pieces, np.int32)  # pad -> overflow bin
-    ids_pad[:n] = np.asarray(ids, np.int32)
+    ids_pad = np.full(total, n_pieces, np.int32)  # pad -> overflow bin
+    ids_pad[:n] = np.asarray(ids, np.int32)[:n]
     ids_dev = jax.device_put(ids_pad, NamedSharding(mesh, P(None)))
     topk_fn, _ = make_sharded_topk(mesh, k, axis, n_real=n)
 
@@ -150,6 +172,63 @@ def make_sharded_piece_query(mesh: Mesh, params, cfg, gallery: np.ndarray,
                  starts)
 
     return query
+
+
+def build_sharded_sheet_gallery(mesh: Mesh, params, cfg,
+                                strips, *, stride: Optional[int] = None,
+                                center_crop: int = 160,
+                                axis: str = DB_AXIS):
+    """Pod-scale sheet-DB build: pieces partitioned across the mesh, each
+    chip embeds only ITS strips' sliding windows, and the gallery rows
+    come out SHARDED over ``axis`` — no chip ever holds the whole
+    database (the single-chip fast path is
+    retrieval.server.initialize_sheet_db_from_imges_device).
+
+    ``strips``: per-piece [H, W] uint8 unrolled strips (host). Pieces are
+    padded (all-white) to a multiple of the shard count and widths to the
+    global max; padding windows land at the END of the row space, so
+    consumers mask them with ``n_real`` (make_sharded_piece_query does).
+
+    Returns (codes [P_pad*n_windows, d] jax.Array sharded over ``axis``,
+    ids [n_real] int64 piece ids, n_real).
+    """
+    from audio_sheet_retrieval_tpu.ops import windows as win
+
+    m = mesh.shape[axis]
+    sheet_w = cfg.input_shape_1[2]
+    stride = stride or sheet_w // 4
+    n_pieces = len(strips)
+    p_pad = int(np.ceil(n_pieces / m) * m)
+    h = max(s.shape[0] for s in strips)
+    w = max(s.shape[1] for s in strips)
+    stack = np.full((p_pad, h, w), 255, np.uint8)
+    for i, s in enumerate(strips):
+        stack[i, :s.shape[0], :s.shape[1]] = s
+    starts = win.stride_starts(w, sheet_w, stride)
+    n_win = len(starts)
+
+    def local_build(p_, strips_local, starts_):
+        # [P/m, H, W] -> [P/m * n_win, d]; sequential per piece (lax.map)
+        # keeps peak memory at one piece's window batch
+        def embed_one(strip):
+            return win._strip_embed_core(p_, strip, starts_, cfg, False,
+                                         center_crop)
+
+        codes = jax.lax.map(embed_one, strips_local)
+        return codes.reshape(-1, codes.shape[-1])
+
+    build = jax.jit(jax.shard_map(
+        local_build, mesh=mesh,
+        in_specs=(P(), P(axis, None, None), P()),
+        out_specs=P(axis, None),
+        check_vma=False,
+    ))
+    stack_dev = jax.device_put(stack, NamedSharding(mesh, P(axis, None,
+                                                           None)))
+    codes = build(jax.device_put(params), stack_dev, jnp.asarray(starts))
+    # window rows follow piece order; padding pieces occupy the tail
+    ids = np.repeat(np.arange(n_pieces, dtype=np.int64), n_win)
+    return codes, ids, n_pieces * n_win
 
 
 def make_sharded_cca_moments(mesh: Mesh, axis: str = "data"):

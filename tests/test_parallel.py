@@ -174,3 +174,57 @@ def test_sharded_piece_query_matches_single_chip(mesh8):
     got = np.asarray(sharded(jnp.asarray(payload), scale, starts))
     np.testing.assert_array_equal(got, want)
     assert int(got.sum()) == 20 * 10  # every excerpt votes its top-10
+
+
+def test_sharded_gallery_build_and_query_end_to_end(mesh8):
+    """Pod-scale serving end-to-end: pieces partitioned across the mesh,
+    gallery rows built sharded (build_sharded_sheet_gallery), consumed
+    directly by the sharded fused query with tail-padding masked — codes
+    match the single-chip strip embedder and counts match the single-chip
+    fused query."""
+    import jax.numpy as jnp
+
+    from audio_sheet_retrieval_tpu.models import cca_model
+    from audio_sheet_retrieval_tpu.models.configs import get_model_config
+    from audio_sheet_retrieval_tpu.ops import windows
+    from audio_sheet_retrieval_tpu.retrieval.gallery import (
+        DeviceGallery,
+        make_fused_piece_query_spec,
+    )
+
+    cfg = get_model_config("mutopia_ccal_cont_rsz", num_filters=4,
+                           dim_latent=8)
+    params = cca_model.init_model(jax.random.PRNGKey(3), cfg)
+    params = params._replace(cca=params.cca._replace(
+        U=jnp.eye(cfg.dim_latent), V=jnp.eye(cfg.dim_latent)))
+    rng = np.random.default_rng(11)
+    strips = []
+    for _ in range(5):  # 5 pieces pad to 8 shards
+        s = np.full((200, 1200), 255, np.uint8)
+        for x in rng.integers(0, 1100, 60):
+            s[rng.integers(20, 170):, x:x + 5][:12] = 0
+        strips.append(s)
+
+    codes, ids, n_real = pg.build_sharded_sheet_gallery(
+        mesh8, params, cfg, strips)
+    assert n_real == len(ids)
+    codes_np = np.asarray(codes)[:n_real]
+
+    # oracle: single-chip embedder over the same padded geometry
+    starts = jnp.asarray(windows.stride_starts(1200, 200, 50))
+    embed = windows.make_strip_embedder(params, cfg, center_crop=160)
+    want = np.concatenate([
+        np.asarray(embed(jnp.asarray(s), starts)) for s in strips])
+    np.testing.assert_allclose(codes_np, want, atol=2e-5)
+
+    spec = (rng.random((92, 260)) * 4).astype(np.float32)
+    payload, scale = windows.spec_quantize(spec, bits=16)
+    qstarts = jnp.asarray(windows.linspace_starts(260, 42, 15))
+    single = make_fused_piece_query_spec(
+        params, cfg, DeviceGallery(want, ids=ids), 5, n_candidates=7,
+        quantized=True)
+    want_counts = np.asarray(single(jnp.asarray(payload), scale, qstarts))
+    sharded = pg.make_sharded_piece_query(
+        mesh8, params, cfg, codes, ids, 5, n_candidates=7, n_real=n_real)
+    got_counts = np.asarray(sharded(jnp.asarray(payload), scale, qstarts))
+    np.testing.assert_array_equal(got_counts, want_counts)
