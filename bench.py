@@ -21,11 +21,14 @@ Env knobs:
   ASR_BENCH_PIECES  number of benchmark pieces (default 24)
   ASR_BENCH_SECS    audio seconds per piece (default 60)
   ASR_BENCH_WIDTH   strip width px per piece (default 20000)
-  ASR_BENCH_SHEET   rle (default): LOSSLESS bitmap run-length sheet upload
-                    with fast on-device decode — bit-identical embeddings at
-                    ~0.17-0.23 B/px | rlepairs: (values, lengths) coding,
-                    smaller wire but ~0.5 s/strip decode | pack4: lossy
-                    4-bit (cosine >= 0.99996, 0.5 B/px) | raw: uint8
+  ASR_BENCH_SHEET   rle2 (default): LOSSLESS two-level bitmap run-length
+                    sheet upload (the level-1 start bitmap is itself
+                    bitmap-RLE'd) — bit-identical embeddings at ~0.11 B/px
+                    on real engraving, decode = two cumsum+gather passes |
+                    rle: single-level, ~0.17-0.23 B/px | rlepairs:
+                    (values, lengths) coding, ~0.5 s/strip decode |
+                    pack4: lossy 4-bit (cosine >= 0.99996, 0.5 B/px) |
+                    raw: uint8
   ASR_BENCH_PACK4   legacy alias: =0 selects raw when ASR_BENCH_SHEET unset
   ASR_BENCH_AUDIO   specu16 (default): host DSP + u16-quantized
                     log-filterbank spectrogram upload, 3.7 kB/s — the
@@ -128,18 +131,21 @@ def main():
     strip_h = 160  # serving strip height (= SYSTEM_HEIGHT; see below)
     # sheet upload coding: rle (lossless, default) | pack4 (lossy 4-bit) |
     # raw. ASR_BENCH_PACK4=0 is honored for backwards compat (-> raw).
-    sheet_mode = os.environ.get("ASR_BENCH_SHEET", "rle")
+    sheet_mode = os.environ.get("ASR_BENCH_SHEET", "rle2")
     if os.environ.get("ASR_BENCH_PACK4") == "0" and "ASR_BENCH_SHEET" \
             not in os.environ:
         sheet_mode = "raw"
-    if sheet_mode not in ("rle", "rlepairs", "pack4", "raw"):
+    if sheet_mode not in ("rle2", "rle", "rlepairs", "pack4", "raw"):
         raise SystemExit(
             f"unknown ASR_BENCH_SHEET={sheet_mode!r} "
-            "(expected rle | rlepairs | pack4 | raw)")
+            "(expected rle2 | rle | rlepairs | pack4 | raw)")
     pack4 = sheet_mode == "pack4"
     if sheet_mode == "pack4":
         embed_strip = win.make_strip_embedder_packed(params, cfg,
                                                      center_crop=160)
+    elif sheet_mode == "rle2":
+        embed_strip = win.make_strip_embedder_rle_bitmap2(
+            params, cfg, (strip_h, width), center_crop=160)
     elif sheet_mode == "rle":
         embed_strip = win.make_strip_embedder_rle_bitmap(
             params, cfg, (strip_h, width), center_crop=160)
@@ -197,6 +203,18 @@ def main():
     if sheet_mode == "pack4":
         strips = [win.pack_strip_4bit(s_) for s_ in raw_strips]
         sheet_bytes = [s_.nbytes for s_ in strips]
+    elif sheet_mode == "rle2":
+        # two-level bitmap coding: the level-1 start bitmap's bytes are
+        # themselves bitmap-RLE'd (0.109 vs 0.184 B/px on this content);
+        # decode adds one cumsum+gather at N/8 elements
+        strips = [win.rle_bitmap2_encode_strip(s_) for s_ in raw_strips]
+        r2m = max(v.shape[0] for _, v, _ in strips)
+        r1m = max(v.shape[0] for _, _, v in strips)
+        strips = [(b, np.pad(v2_, (0, r2m - v2_.shape[0])),
+                   np.pad(v1_, (0, r1m - v1_.shape[0])))
+                  for b, v2_, v1_ in strips]
+        sheet_bytes = [b.nbytes + v2_.nbytes + v1_.nbytes
+                       for b, v2_, v1_ in strips]
     elif sheet_mode == "rle":
         # bitmap coding: decode is one cumsum + one gather (the pair coding
         # "rlepairs" is ~20% smaller on the wire but its searchsorted
@@ -252,12 +270,20 @@ def main():
     # (measured: 3.5 MB/s effective from ~1 MB transfers vs ~30 MB/s raw
     # link). Each piece is still embedded by its own dispatch.
     batch_upload = (os.environ.get("ASR_BENCH_BATCH_UPLOAD", "1") == "1"
-                    and sheet_mode == "rle" and (mulaw or spec_upload))
+                    and sheet_mode in ("rle", "rle2")
+                    and (mulaw or spec_upload))
     if batch_upload:
-        vals_all = np.stack([a for a, _ in strips])   # bitmaps
-        lens_all = np.stack([b for _, b in strips])   # values
-        embed_strip_b = win.make_strip_embedder_rle_bitmap_batched(
-            params, cfg, (strip_h, width), center_crop=160)
+        if sheet_mode == "rle2":
+            bm2_all = np.stack([b for b, _, _ in strips])
+            v2_all = np.stack([v for _, v, _ in strips])
+            v1_all = np.stack([v for _, _, v in strips])
+            embed_strip_b = win.make_strip_embedder_rle_bitmap2_batched(
+                params, cfg, (strip_h, width), center_crop=160)
+        else:
+            vals_all = np.stack([a for a, _ in strips])   # bitmaps
+            lens_all = np.stack([b for _, b in strips])   # values
+            embed_strip_b = win.make_strip_embedder_rle_bitmap_batched(
+                params, cfg, (strip_h, width), center_crop=160)
         if spec_upload:
             codes_all = np.stack([c for c, _ in audio_payloads])
             scales_all = np.asarray([s for _, s in audio_payloads],
@@ -269,6 +295,10 @@ def main():
                 params, cfg, proc)
 
     def upload_embed_strip(p):
+        if sheet_mode == "rle2":
+            b, v2, v1 = strips[p]
+            return embed_strip(jnp.asarray(b), jnp.asarray(v2),
+                               jnp.asarray(v1), sheet_starts_d)
         if sheet_mode in ("rle", "rlepairs"):
             v, l = strips[p]
             return embed_strip(jnp.asarray(v), jnp.asarray(l),
@@ -290,8 +320,12 @@ def main():
 
     # warmup / compile
     if batch_upload:
-        r1 = embed_strip_b(jnp.asarray(vals_all), jnp.asarray(lens_all), 0,
-                           sheet_starts_d)
+        if sheet_mode == "rle2":
+            r1 = embed_strip_b(jnp.asarray(bm2_all), jnp.asarray(v2_all),
+                               jnp.asarray(v1_all), 0, sheet_starts_d)
+        else:
+            r1 = embed_strip_b(jnp.asarray(vals_all), jnp.asarray(lens_all),
+                               0, sheet_starts_d)
         if spec_upload:
             r2 = embed_audio_b(jnp.asarray(codes_all),
                                jnp.asarray(scales_all), 0, spec_starts_d)
@@ -313,15 +347,20 @@ def main():
         t0 = time.perf_counter()
         outs = []
         if batch_upload:
-            va = jax.device_put(vals_all)
-            la = jax.device_put(lens_all)
+            if sheet_mode == "rle2":
+                sheet_payload = tuple(jax.device_put(a) for a in
+                                      (bm2_all, v2_all, v1_all))
+            else:
+                sheet_payload = (jax.device_put(vals_all),
+                                 jax.device_put(lens_all))
             if spec_upload:
                 ca = jax.device_put(codes_all)
                 sa = jax.device_put(scales_all)
             else:
                 aa = jax.device_put(audio_all)
             for p in range(n_pieces):
-                outs.append(embed_strip_b(va, la, p, sheet_starts_d))
+                outs.append(embed_strip_b(*sheet_payload, p,
+                                          sheet_starts_d))
                 outs.append(
                     embed_audio_b(ca, sa, p, spec_starts_d) if spec_upload
                     else embed_audio_b(aa, p, spec_starts_d, n_frames))
@@ -567,7 +606,8 @@ def main():
             "train_updates_per_s_bf16": (round(train_ups_bf16, 1)
                                          if train_ups_bf16 else None),
             "dtype": dtype,
-            "sheet_upload": {"rle": "rle-bitmap-lossless",
+            "sheet_upload": {"rle2": "rle-bitmap2-lossless",
+                             "rle": "rle-bitmap-lossless",
                              "rlepairs": "rle-pairs-lossless",
                              "pack4": "4bit-packed"}.get(sheet_mode, "uint8"),
             "sheet_wire_bytes_per_px": round(

@@ -416,3 +416,53 @@ def test_fullconv_strip_embedder_close_to_standard():
         params, cfg, strip.shape, center_crop=160, fullconv=True)(
         jnp.asarray(bm), jnp.asarray(vals), starts))
     np.testing.assert_array_equal(fc, fc2)
+
+
+def test_rle_bitmap2_roundtrip_and_embedder_parity():
+    """Two-level bitmap RLE: lossless roundtrip on real-ish and edge
+    shapes, smaller wire than level-1 on runny content, and the fused
+    embedders (plain + batched) match the raw uint8 path bit-for-bit."""
+    rng = np.random.default_rng(29)
+    strips = []
+    for _ in range(2):
+        s = np.full((200, 1400), 255, np.uint8)
+        for x in rng.integers(0, 1300, 70):
+            s[rng.integers(20, 170):, x:x + 5][:12] = rng.integers(0, 90)
+        strips.append(s)
+    for s in strips + [np.full((1, 9), 3, np.uint8),
+                       np.tile(np.array([[0, 255]], np.uint8), (4, 8))]:
+        bm2, v2, v1 = windows.rle_bitmap2_encode_strip(s)
+        out = np.asarray(windows.rle_bitmap2_decode_device(
+            jnp.asarray(bm2), jnp.asarray(v2), jnp.asarray(v1), *s.shape))
+        np.testing.assert_array_equal(out, s)
+    bm1, vals1 = windows.rle_bitmap_encode_strip(strips[0])
+    bm2, v2, v1 = windows.rle_bitmap2_encode_strip(strips[0])
+    assert bm2.nbytes + v2.nbytes + v1.nbytes < bm1.nbytes + vals1.nbytes
+
+    cfg = get_model_config("mutopia_ccal_cont_rsz", num_filters=4,
+                           dim_latent=8)
+    params = cca_model.init_model(jax.random.PRNGKey(6), cfg)
+    params = params._replace(cca=params.cca._replace(
+        U=jnp.eye(cfg.dim_latent), V=jnp.eye(cfg.dim_latent)))
+    starts = jnp.asarray(np.arange(0, 1100, 110, dtype=np.int32))
+    raw_embed = windows.make_strip_embedder(params, cfg, center_crop=160)
+    embed2 = windows.make_strip_embedder_rle_bitmap2(
+        params, cfg, strips[0].shape, center_crop=160)
+    enc = [windows.rle_bitmap2_encode_strip(s) for s in strips]
+    r2 = max(v.shape[0] for _, v, _ in enc)
+    r1 = max(v.shape[0] for _, _, v in enc)
+    enc = [(b, np.pad(v2_, (0, r2 - v2_.shape[0])),
+            np.pad(v1_, (0, r1 - v1_.shape[0]))) for b, v2_, v1_ in enc]
+    batched = windows.make_strip_embedder_rle_bitmap2_batched(
+        params, cfg, strips[0].shape, center_crop=160)
+    b_all = jnp.asarray(np.stack([b for b, _, _ in enc]))
+    v2_all = jnp.asarray(np.stack([v for _, v, _ in enc]))
+    v1_all = jnp.asarray(np.stack([v for _, _, v in enc]))
+    for p, s in enumerate(strips):
+        want = np.asarray(raw_embed(jnp.asarray(s), starts))
+        got = np.asarray(embed2(jnp.asarray(enc[p][0]),
+                                jnp.asarray(enc[p][1]),
+                                jnp.asarray(enc[p][2]), starts))
+        np.testing.assert_array_equal(want, got)
+        got_b = np.asarray(batched(b_all, v2_all, v1_all, p, starts))
+        np.testing.assert_array_equal(want, got_b)
