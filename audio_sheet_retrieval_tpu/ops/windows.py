@@ -497,6 +497,18 @@ def rle_bitmap_encode_padded(strip_u8: np.ndarray, width_bucket: int = 4096):
     return bm, vals, (s.shape[0], wb)
 
 
+def rle_bitmap2_encode_padded(strip_u8: np.ndarray,
+                              width_bucket: int = 4096):
+    """Width-bucketed two-level coding (see rle_bitmap_encode_padded):
+    -> (bm2, vals2, values, (h, w_padded))."""
+    s = np.asarray(strip_u8, np.uint8)
+    wb = max(1, int(np.ceil(s.shape[1] / width_bucket))) * width_bucket
+    padded = np.full((s.shape[0], wb), 255, np.uint8)
+    padded[:, :s.shape[1]] = s
+    bm2, vals2, values = rle_bitmap2_encode_strip(padded)
+    return bm2, vals2, values, (s.shape[0], wb)
+
+
 def make_strip_embedder_rle_bitmap(params, cfg, strip_shape,
                                    *, center_crop: int | None = None,
                                    gather_half: bool = False,

@@ -240,14 +240,16 @@ def make_fused_sheet_query(params, cfg, gallery: "DeviceGallery",
     upload, on-device decode + window slicing + view-1 embedding + audio
     gallery top-k + vote histogram in a single jitted program.
 
-    ``coding``: 'rle_bitmap' (LOSSLESS, ~0.17 B/px — query(bitmap, values,
-    starts), needs static ``strip_shape``), 'pack4' (lossy 4-bit,
-    0.5 B/px) or 'raw'; the legacy ``pack4`` bool maps to
-    pack4/raw when ``coding`` is None.
+    ``coding``: 'rle_bitmap2' (LOSSLESS two-level, ~0.11 B/px —
+    query(bm2, vals2, values, starts)), 'rle_bitmap' (LOSSLESS,
+    ~0.17 B/px — query(bitmap, values, starts)) — both need static
+    ``strip_shape`` — 'pack4' (lossy 4-bit, 0.5 B/px) or 'raw'; the
+    legacy ``pack4`` bool maps to pack4/raw when ``coding`` is None.
     """
     from audio_sheet_retrieval_tpu.models import cca_model
     from audio_sheet_retrieval_tpu.ops.windows import (
         gather_windows,
+        rle_bitmap2_decode_device,
         rle_bitmap_decode_device,
         unpack_strip_4bit,
     )
@@ -255,9 +257,9 @@ def make_fused_sheet_query(params, cfg, gallery: "DeviceGallery",
 
     if coding is None:
         coding = "pack4" if pack4 else "raw"
-    assert coding in ("rle_bitmap", "pack4", "raw"), coding
-    if coding == "rle_bitmap" and strip_shape is None:
-        raise ValueError("coding='rle_bitmap' needs strip_shape=(H, W)")
+    assert coding in ("rle_bitmap2", "rle_bitmap", "pack4", "raw"), coding
+    if coding.startswith("rle_bitmap") and strip_shape is None:
+        raise ValueError(f"coding={coding!r} needs strip_shape=(H, W)")
 
     h, window = cfg.input_shape_1[1], cfg.input_shape_1[2]
     k = min(n_candidates, gallery.n)
@@ -276,6 +278,11 @@ def make_fused_sheet_query(params, cfg, gallery: "DeviceGallery",
         strip = rle_bitmap_decode_device(bitmap, values, *strip_shape)
         return _q_body(p, gal_nt, valid, idtab, strip, starts)
 
+    @jax.jit
+    def q_rle2(p, gal_nt, valid, idtab, bm2, vals2, values, starts):
+        strip = rle_bitmap2_decode_device(bm2, vals2, values, *strip_shape)
+        return _q_body(p, gal_nt, valid, idtab, strip, starts)
+
     def _q_body(p, gal_nt, valid, idtab, strip, starts):
         r0 = strip.shape[0] // 2 - h // 2
         strip = jax.lax.dynamic_slice_in_dim(strip, r0, h, axis=0)
@@ -291,6 +298,14 @@ def make_fused_sheet_query(params, cfg, gallery: "DeviceGallery",
         return jnp.sum(pid[..., None] == jnp.arange(n_pieces), axis=(0, 1))
 
     params = jax.device_put(params)
+
+    if coding == "rle_bitmap2":
+        def query(bm2, vals2, values, starts):
+            """(bm2, vals2, values) from
+            ops.windows.rle_bitmap2_encode_strip of the [H, W] strip."""
+            return q_rle2(params, gallery.gallery_nt, gallery.valid,
+                          ids_pad, bm2, vals2, values, starts)
+        return query
 
     if coding == "rle_bitmap":
         def query(bitmap, values, starts):

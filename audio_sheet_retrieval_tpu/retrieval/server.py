@@ -521,23 +521,23 @@ class AudioSheetServer:
                                       verbose: bool = False,
                                       n_samples: int = 100):
         """detect_performance in ONE device dispatch: the strip uploads
-        losslessly bitmap-RLE coded (~0.17 B/px, bit-identical pixels), and
-        decode + windowing + view-1 embedding + audio-gallery top-k + vote
-        histogram run as a single jitted program
+        losslessly two-level bitmap-RLE coded (~0.11 B/px, bit-identical
+        pixels), and decode + windowing + view-1 embedding + audio-gallery
+        top-k + vote histogram run as a single jitted program
         (gallery.make_fused_sheet_query); the download is one
         [n_performances] count vector. Strip widths pad to 4096-multiples
         (white) so the program compiles once per width bucket."""
         import jax.numpy as jnp
 
         from audio_sheet_retrieval_tpu.ops.windows import (
-            rle_bitmap_encode_padded,
+            rle_bitmap2_encode_padded,
         )
         from audio_sheet_retrieval_tpu.retrieval.gallery import (
             make_fused_sheet_query,
         )
 
         strip = np.asarray(sheet, np.uint8)
-        bm, vals, (sh, wb) = rle_bitmap_encode_padded(strip)
+        bm2, vals2, values, (sh, wb) = rle_bitmap2_encode_padded(strip)
 
         n_perf = max(self.id_to_perform) + 1
         key = (id(self._audio_gallery), n_candidates, n_perf, sh, wb)
@@ -550,11 +550,11 @@ class AudioSheetServer:
             cache[key] = make_fused_sheet_query(
                 self.embed_network.params, self.embed_network.cfg,
                 self._audio_gallery, n_perf, n_candidates=n_candidates,
-                coding="rle_bitmap", strip_shape=(sh, wb))
+                coding="rle_bitmap2", strip_shape=(sh, wb))
         starts = jnp.asarray(linspace_starts(strip.shape[1],
                                              self.sheet_shape[1], n_samples))
-        counts = np.asarray(cache[key](jnp.asarray(bm), jnp.asarray(vals),
-                                       starts))
+        counts = np.asarray(cache[key](jnp.asarray(bm2), jnp.asarray(vals2),
+                                       jnp.asarray(values), starts))
         hit = np.flatnonzero(counts > 0)  # np.unique domain (voted pieces)
         order = hit[np.argsort(counts[hit])[::-1]][:top_k]
         if verbose:
