@@ -223,7 +223,7 @@ class AudioSheetServer:
             image = np.asarray(scores[piece_idx], np.uint8)
             starts = np.arange(0, image.shape[1] - w, w // 4,
                                dtype=np.int32)
-            bm, vals, (sh, wb) = win.rle_bitmap_encode_padded(
+            bm2, vals2, values, (sh, wb) = win.rle_bitmap2_encode_padded(
                 image, width_bucket)
             n_max = len(win.stride_starts(wb, w, w // 4))
             starts_pad = np.zeros(n_max, np.int32)
@@ -232,13 +232,15 @@ class AudioSheetServer:
             # per payload shape under one shared params device_put
             key = (sh, wb)
             if key not in embedders:
-                # fullconv: strip-level first conv block (75%-overlap
-                # elimination; cosine >= 0.999 vs per-window — see
+                # two-level lossless RLE upload (~0.11 B/px); fullconv:
+                # strip-level first conv block (75%-overlap elimination;
+                # cosine >= 0.999 vs per-window — see
                 # ops.windows._strip_embed_core_fullconv)
-                embedders[key] = win.make_strip_embedder_rle_bitmap(
+                embedders[key] = win.make_strip_embedder_rle_bitmap2(
                     wrapper.params, wrapper.cfg, (sh, wb), center_crop=h,
                     fullconv=fullconv)
-            c = embedders[key](jnp.asarray(bm), jnp.asarray(vals),
+            c = embedders[key](jnp.asarray(bm2), jnp.asarray(vals2),
+                               jnp.asarray(values),
                                jnp.asarray(starts_pad))
             codes.append(c[:len(starts)])
             ids.append(np.full(len(starts), piece_idx, np.int64))
@@ -276,13 +278,16 @@ class AudioSheetServer:
                      ) * frames_bucket
             spec_pad = np.zeros((bins, tb), np.float32)
             spec_pad[:, :spec.shape[1]] = spec
+            # u16-quantized upload: half the f32 wire, rank-agreement-
+            # lossless on the reference checkpoint (PARITY.md 15)
+            payload, scale = win.spec_quantize(spec_pad, bits=16)
             n_max = len(win.stride_starts(tb, ctx, ctx // 4))
             starts_pad = np.zeros(n_max, np.int32)
             starts_pad[:len(starts)] = starts
             if not embedders:  # one embedder; jit specializes per shape
-                embedders[0] = win.make_spec_embedder(wrapper.params,
-                                                      wrapper.cfg)
-            c = embedders[0](jnp.asarray(spec_pad),
+                embedders[0] = win.make_spec_embedder_q(wrapper.params,
+                                                        wrapper.cfg)
+            c = embedders[0](jnp.asarray(payload), scale,
                              jnp.asarray(starts_pad))
             codes.append(c[:len(starts)])
             ids.append(np.full(len(starts), piece_idx, np.int64))
