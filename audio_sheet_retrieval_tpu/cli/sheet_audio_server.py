@@ -31,6 +31,11 @@ def build_arg_parser():
     parser.add_argument("--estimate_UV", action="store_true")
     parser.add_argument("--init_audio_db", action="store_true")
     parser.add_argument("--full_eval", action="store_true")
+    parser.add_argument("--fused", action="store_true",
+                        help="full_eval queries through the one-dispatch "
+                             "fused strip path (detect_performance_from_"
+                             "sheet, two-level lossless RLE wire) — same "
+                             "rankings, ~3x lower latency")
     parser.add_argument("--n_candidates", type=int, default=25)
     parser.add_argument("--train_split", type=str, default=None)
     parser.add_argument("--config", type=str, default=None)
@@ -82,7 +87,9 @@ def main(argv=None):
         ranks = []
         for tp in te_pieces:
             sheet = loader(tp)[0]
-            ret_result, ret_votes = srv.detect_performance(
+            detect = (srv.detect_performance_from_sheet if args.fused
+                      else srv.detect_performance)
+            ret_result, ret_votes = detect(
                 sheet, top_k=len(te_pieces), n_candidates=args.n_candidates)
             if tp in ret_result:
                 rank = ret_result.index(tp) + 1

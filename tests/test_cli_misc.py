@@ -263,3 +263,19 @@ def test_audio_sheet_server_cli_full_eval_fused(tmp_path):
     ranks_fused = audio_sheet_server.main(common + ["--fused"])
     assert len(ranks_host) == 3 and len(ranks_fused) == 3
     assert ranks_fused == ranks_host
+
+
+@pytest.mark.slow
+def test_sheet_audio_server_cli_full_eval_fused(tmp_path):
+    """sheet_audio_server CLI --full_eval --fused (one-dispatch strip
+    query, two-level RLE wire) matches the host-chained ranks."""
+    from audio_sheet_retrieval_tpu import assets
+    from audio_sheet_retrieval_tpu.cli import sheet_audio_server
+
+    common = ["--data", "synthetic", "--n_test_pieces", "3",
+              "--param_file", assets.tutorial_checkpoint_path(),
+              "--db_file", str(tmp_path / "adb.pkl"),
+              "--init_audio_db", "--full_eval", "--n_candidates", "5"]
+    ranks_host = sheet_audio_server.main(common)
+    ranks_fused = sheet_audio_server.main(common + ["--fused"])
+    assert len(ranks_host) == 3 and ranks_fused == ranks_host
