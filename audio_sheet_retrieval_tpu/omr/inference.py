@@ -30,14 +30,26 @@ def prepare_image(img: np.ndarray) -> np.ndarray:
     return img
 
 
+def _quantize_page(img_01: np.ndarray) -> np.ndarray:
+    """[0, 1] float page -> u16 wire codes (see _U16)."""
+    return np.round(np.clip(img_01, 0.0, 1.0) * _U16).astype(np.uint16)
+
+
+_U16 = 65535.0  # wire quantization: page up + prob map down ride as u16
+# codes (error 7.6e-6, far below the network's own noise floor) — the
+# f32 round trip of a padded page was ~12.6 MB and dominated per-page
+# latency on tunneled hosts (measured: U-Net 88 ms vs 401 ms total)
+
+
 @functools.partial(jax.jit, static_argnames=("tile_h", "tile_w", "out_h",
                                              "out_w"))
-def _tiled_predict(params, image: jnp.ndarray, row0: jnp.ndarray,
+def _tiled_predict(params, image_u16: jnp.ndarray, row0: jnp.ndarray,
                    col0: jnp.ndarray, ham2d: jnp.ndarray,
                    tile_h: int, tile_w: int, out_h: int, out_w: int):
-    """image [H, W] (padded); (row0, col0) tile corner lists (equal length).
-    Returns the blended probability map [H, W]."""
+    """image_u16 [H, W] u16-quantized [0,1] page (padded); (row0, col0)
+    tile corner lists. Returns the blended probability map as u16 codes."""
     n_tiles = row0.shape[0]
+    image = image_u16.astype(jnp.float32) * (1.0 / _U16)
 
     def gather(i):
         return jax.lax.dynamic_slice(image, (row0[i], col0[i]),
@@ -63,7 +75,7 @@ def _tiled_predict(params, image: jnp.ndarray, row0: jnp.ndarray,
         return R, V
 
     R, V = jax.lax.fori_loop(0, n_tiles, body, (R, V))
-    return R / V
+    return jnp.round(jnp.clip(R / V, 0.0, 1.0) * _U16).astype(jnp.uint16)
 
 
 class SegmentationNetwork:
@@ -72,7 +84,14 @@ class SegmentationNetwork:
     def __init__(self, params, input_shape: Tuple[int, int] = (512, 512)):
         self.params = params
         self.input_shape = tuple(input_shape)
-        self._direct = jax.jit(unet.unet_apply)
+
+        @jax.jit
+        def _direct(p, x_u16):
+            y = unet.unet_apply(p, x_u16.astype(jnp.float32) * (1.0 / _U16))
+            return jnp.round(jnp.clip(y, 0.0, 1.0) * _U16
+                             ).astype(jnp.uint16)
+
+        self._direct = _direct
 
     @classmethod
     def load(cls, path: str, input_shape: Tuple[int, int] = (512, 512)):
@@ -88,8 +107,10 @@ class SegmentationNetwork:
         sh, sw = self.input_shape
 
         if (h, w) == (sh, sw):
+            q = _quantize_page(image[:, 0])
             proba = np.asarray(self._direct(
-                self.params, jnp.asarray(image[:, 0, :, :, None])))
+                self.params, jnp.asarray(q[..., None]))
+            ).astype(np.float32) / _U16
         else:
             proba = np.stack([self._sliding(image[i, 0], overlap)
                               for i in range(n)])
@@ -120,10 +141,10 @@ class SegmentationNetwork:
                         ).astype(np.float32)
 
         blended = _tiled_predict(
-            self.params, jnp.asarray(padded),
+            self.params, jnp.asarray(_quantize_page(padded)),
             jnp.asarray(rr.ravel()), jnp.asarray(cc.ravel()),
             jnp.asarray(ham2d), sh, sw,
             int(padded.shape[0]), int(padded.shape[1]))
-        out = np.asarray(blended)
+        out = np.asarray(blended).astype(np.float32) / _U16
         return out[pad_top:padded.shape[0] - pad_bottom,
                    pad_left:padded.shape[1] - pad_right]
