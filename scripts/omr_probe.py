@@ -41,6 +41,7 @@ def main(argv=None):
 
     img = cv2.imread(assets.tutorial_sheet_path(), 0)
     img = cv2.resize(img, (835, int(835 / img.shape[1] * img.shape[0])))
+    img = inference.prepare_image(img)  # the library ingest contract
     print(f"page: {img.shape}", file=sys.stderr)
 
     net = inference.SegmentationNetwork.load(
