@@ -69,10 +69,12 @@ def forward_train(
     dt = _dtype(cfg)
     h1, new_v1 = enc.encoder_apply(
         params.view1, x1, train=True, compute_dtype=dt,
-        bn_epsilon=cfg.bn_epsilon, bn_alpha=cfg.bn_alpha)
+        bn_epsilon=cfg.bn_epsilon, bn_alpha=cfg.bn_alpha,
+        conv_precision=cfg.conv_precision)
     h2, new_v2 = enc.encoder_apply(
         params.view2, x2, train=True, compute_dtype=dt,
-        bn_epsilon=cfg.bn_epsilon, bn_alpha=cfg.bn_alpha)
+        bn_epsilon=cfg.bn_epsilon, bn_alpha=cfg.bn_alpha,
+        conv_precision=cfg.conv_precision)
 
     if cfg.use_ccal:
         # polar whitening changes the monitored corr semantics; with a
@@ -106,7 +108,8 @@ def embed_view1(params: ModelParams, x1: jnp.ndarray,
                 cfg: ModelConfig) -> jnp.ndarray:
     """Deterministic view-1 (sheet) embedding: encoder -> affine CCA -> L2."""
     h1, _ = enc.encoder_apply(params.view1, x1, train=False,
-                              compute_dtype=_dtype(cfg))
+                              compute_dtype=_dtype(cfg),
+                              conv_precision=cfg.conv_precision)
     lv1 = (h1 - params.cca.mean1).dot(params.cca.U)
     return length_norm(lv1)
 
@@ -115,7 +118,8 @@ def embed_view2(params: ModelParams, x2: jnp.ndarray,
                 cfg: ModelConfig) -> jnp.ndarray:
     """Deterministic view-2 (audio) embedding: encoder -> affine CCA -> L2."""
     h2, _ = enc.encoder_apply(params.view2, x2, train=False,
-                              compute_dtype=_dtype(cfg))
+                              compute_dtype=_dtype(cfg),
+                              conv_precision=cfg.conv_precision)
     lv2 = (h2 - params.cca.mean2).dot(params.cca.V)
     return length_norm(lv2)
 
@@ -128,13 +132,15 @@ def pre_cca_latent_v1(params: ModelParams, x1, cfg: ModelConfig):
     """Deterministic view-1 encoder output BEFORE the CCA head — input to
     the large-batch refinement fit (reference:refine_cca.py:86-97)."""
     h1, _ = enc.encoder_apply(params.view1, x1, train=False,
-                              compute_dtype=_dtype(cfg))
+                              compute_dtype=_dtype(cfg),
+                              conv_precision=cfg.conv_precision)
     return h1
 
 
 def pre_cca_latent_v2(params: ModelParams, x2, cfg: ModelConfig):
     h2, _ = enc.encoder_apply(params.view2, x2, train=False,
-                              compute_dtype=_dtype(cfg))
+                              compute_dtype=_dtype(cfg),
+                              conv_precision=cfg.conv_precision)
     return h2
 
 

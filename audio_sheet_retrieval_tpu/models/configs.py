@@ -49,6 +49,11 @@ class ModelConfig:
     whitening: str = "polar"      # CCA layer whitening: "polar" (TPU-fast
     #                               Newton-Schulz; loss/metrics equivalent,
     #                               see PARITY.md) or "eigh" (reference form)
+    conv_precision: str = "highest"  # f32 conv passes: "highest" (bf16x6,
+    #                               strict checkpoint parity), "high"
+    #                               (bf16x3 — the middle serving recipe,
+    #                               ~1e-6 relative error, measured in
+    #                               scripts/precision_probe.py), "default"
     cca_grad: str = "full"        # "full": differentiate through the
     #                               whitening chain (reference parity);
     #                               "projection": stop-grad U/V/means —

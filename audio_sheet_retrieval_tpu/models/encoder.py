@@ -63,12 +63,20 @@ def init_encoder(key, in_channels: int, num_filters: int, dim_latent: int,
     return {"blocks": blocks}
 
 
-def _conv(x, w, compute_dtype):
-    # float32 path pins HIGHEST precision: TPU otherwise lowers f32 convs to
-    # bf16 multiplies, breaking checkpoint-parity tolerances. The bfloat16
-    # fast path keeps conv output in bf16 (a float32 preferred_element_type
-    # breaks the transpose/grad rule with mixed dtypes); callers cast the
-    # activations back to float32 for the BN statistics.
+_PRECISIONS = {"highest": jax.lax.Precision.HIGHEST,
+               "high": jax.lax.Precision.HIGH,
+               "default": jax.lax.Precision.DEFAULT}
+
+
+def _conv(x, w, compute_dtype, conv_precision: str = "highest"):
+    # float32 path pins HIGHEST precision by default: TPU otherwise lowers
+    # f32 convs to bf16 multiplies, breaking checkpoint-parity tolerances.
+    # ``conv_precision="high"`` (bf16x3 passes) is the middle serving
+    # recipe: ~2x the HIGHEST throughput at ~1e-6 relative error — see
+    # scripts/precision_probe.py + PARITY.md. The bfloat16 fast path keeps
+    # conv output in bf16 (a float32 preferred_element_type breaks the
+    # transpose/grad rule with mixed dtypes); callers cast the activations
+    # back to float32 for the BN statistics.
     f32 = compute_dtype == jnp.float32
     out = jax.lax.conv_general_dilated(
         x.astype(compute_dtype),
@@ -77,7 +85,7 @@ def _conv(x, w, compute_dtype):
         padding="SAME" if w.shape[0] == 3 else "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32 if f32 else None,
-        precision=(jax.lax.Precision.HIGHEST if f32
+        precision=(_PRECISIONS[conv_precision] if f32
                    else jax.lax.Precision.DEFAULT),
     )
     return out if f32 else out.astype(jnp.float32)
@@ -100,6 +108,7 @@ def encoder_apply(
     compute_dtype=jnp.float32,
     bn_epsilon: float = 1e-4,
     bn_alpha: float = 1e-2,
+    conv_precision: str = "highest",
 ) -> Tuple[jnp.ndarray, Params]:
     """Run the encoder.
 
@@ -115,7 +124,7 @@ def encoder_apply(
     new_blocks = []
     h = x
     for i, blk in enumerate(blocks):
-        h = _conv(h, blk["w"], compute_dtype)
+        h = _conv(h, blk["w"], compute_dtype, conv_precision)
         if train:
             mu = jnp.mean(h, axis=(0, 1, 2))
             var = jnp.var(h, axis=(0, 1, 2))
@@ -158,12 +167,13 @@ def fold_batch_norm(params: Params) -> Params:
 
 
 def encoder_apply_folded(params: Params, x: jnp.ndarray,
-                         *, compute_dtype=jnp.float32) -> jnp.ndarray:
+                         *, compute_dtype=jnp.float32,
+                         conv_precision: str = "highest") -> jnp.ndarray:
     """Inference with BN-folded parameters (see fold_batch_norm)."""
     h = x
     blocks = params["blocks"]
     for i, blk in enumerate(blocks):
-        h = _conv(h, blk["w"], compute_dtype) + blk["b"]
+        h = _conv(h, blk["w"], compute_dtype, conv_precision) + blk["b"]
         if i < N_CONV_BLOCKS - 1:
             h = jax.nn.elu(h)
             if i % 2 == 1:

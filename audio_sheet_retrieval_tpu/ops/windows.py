@@ -154,7 +154,7 @@ def _strip_embed_core_fullconv(p, strip, starts, cfg, crop_h: int):
     blocks = p.view1["blocks"]
     h = half[None, :, :, None]
     for i in (0, 1):
-        h = enc._conv(h, blocks[i]["w"], dt)
+        h = enc._conv(h, blocks[i]["w"], dt, cfg.conv_precision)
         h = (h - blocks[i]["mean"]) * (blocks[i]["inv_std"]
                                        * blocks[i]["gamma"]) + blocks[i]["beta"]
         h = jax.nn.elu(h)
@@ -172,7 +172,7 @@ def _strip_embed_core_fullconv(p, strip, starts, cfg, crop_h: int):
 
     h = wins
     for i in range(2, enc.N_CONV_BLOCKS):
-        h = enc._conv(h, blocks[i]["w"], dt)
+        h = enc._conv(h, blocks[i]["w"], dt, cfg.conv_precision)
         h = (h - blocks[i]["mean"]) * (blocks[i]["inv_std"]
                                        * blocks[i]["gamma"]) + blocks[i]["beta"]
         if i < enc.N_CONV_BLOCKS - 1:

@@ -17,7 +17,13 @@ numbers — utils/train_dcca_pool.py:221-231 prints but never stores "ups").
 Prints ONE JSON line on stdout; diagnostics on stderr.
 
 Env knobs:
-  ASR_BENCH_DTYPE   float32 (default, checkpoint-parity precision) | bfloat16
+  ASR_BENCH_DTYPE   float32 (default) | bfloat16
+  ASR_BENCH_PRECISION  f32 conv precision: high (default serving recipe,
+                    bf16x3 — on the reference checkpoint + recording:
+                    embedding cosine >= 0.99997 and 100% top-1/top-5 rank
+                    agreement with HIGHEST, scripts/precision_probe.py +
+                    ab_spec_upload.py --tpu; 1.56x the HIGHEST ceiling) |
+                    highest (strict checkpoint parity, bf16x6) | default
   ASR_BENCH_PIECES  number of benchmark pieces (default 24)
   ASR_BENCH_SECS    audio seconds per piece (default 60)
   ASR_BENCH_WIDTH   strip width px per piece (default 20000)
@@ -106,12 +112,15 @@ def main():
     secs = int(os.environ.get("ASR_BENCH_SECS", 60))
     width = int(os.environ.get("ASR_BENCH_WIDTH", 20000))
 
+    precision = os.environ.get("ASR_BENCH_PRECISION", "high")
     dev = jax.devices()[0]
     log(f"device: {dev} platform={dev.platform} dtype={dtype} "
-        f"pieces={n_pieces} secs={secs} width={width}")
+        f"conv_precision={precision} pieces={n_pieces} secs={secs} "
+        f"width={width}")
 
     cfg = get_model_config("mutopia_ccal_cont_rsz")
-    cfg = dataclasses.replace(cfg, compute_dtype=dtype)
+    cfg = dataclasses.replace(cfg, compute_dtype=dtype,
+                              conv_precision=precision)
 
     from audio_sheet_retrieval_tpu import assets
 
@@ -432,8 +441,9 @@ def main():
         ceiling_bf16 = ceiling
         ceiling_fc = measure_ceiling(cfg, fullconv=True)
     log(f"device-resident sheet ceiling: {ceiling:,.0f} emb/s "
-        f"({dtype}); bf16 serving mode: {ceiling_bf16:,.0f} emb/s; "
-        f"bf16 fullconv (strip-level block 1): {ceiling_fc:,.0f} emb/s")
+        f"({dtype}-{precision}); bf16 serving mode: {ceiling_bf16:,.0f} "
+        f"emb/s; bf16 fullconv (strip-level block 1): "
+        f"{ceiling_fc:,.0f} emb/s")
 
     # piece-ID query latency: full detect_score (100 excerpts vs a
     # 100k-snippet gallery, top-25 + vote) fused into ONE dispatch;
@@ -611,6 +621,7 @@ def main():
             "train_updates_per_s_bf16": (round(train_ups_bf16, 1)
                                          if train_ups_bf16 else None),
             "dtype": dtype,
+            "conv_precision": precision,
             "sheet_upload": {"rle2": "rle-bitmap2-lossless",
                              "rle": "rle-bitmap-lossless",
                              "rlepairs": "rle-pairs-lossless",

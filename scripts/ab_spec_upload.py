@@ -101,6 +101,7 @@ def main():
         "specf32": spec_host.shape[0] * proc.fps * 4.0,
         "specu16": spec_host.shape[0] * proc.fps * 2.0,
         "specu8": spec_host.shape[0] * proc.fps * 1.0,
+        "specu16_high": spec_host.shape[0] * proc.fps * 2.0,
     }
 
     arms = {}
@@ -113,6 +114,16 @@ def main():
         codes, scale = win.spec_quantize(spec_host, bits=bits)
         arms[f"specu{bits}"] = np.asarray(q(jnp.asarray(codes), scale,
                                             starts))
+    # conv_precision="high" serving recipe: same u16 wire, bf16x3 convs
+    # (gallery side stays the HIGHEST-precision oracle gallery, so this
+    # also checks cross-precision compatibility of stored galleries)
+    import dataclasses as _dc
+
+    cfg_high = _dc.replace(cfg, conv_precision="high")
+    codes16, scale16 = win.spec_quantize(spec_host, bits=16)
+    arms["specu16_high"] = np.asarray(
+        win.make_spec_embedder_q(params, cfg_high)(
+            jnp.asarray(codes16), scale16, starts))
 
     print(f"\n{'arm':8} {'kB/s':>6} {'cos_min':>9} {'cos_mean':>9} "
           f"{'top1':>9} {'top5':>9}")
