@@ -549,17 +549,22 @@ def main():
         from audio_sheet_retrieval_tpu.train import engine as tengine
         from audio_sheet_retrieval_tpu.train import state as tstate
 
+        # the f32 training row stays at HIGHEST precision (strict parity
+        # and round-over-round comparability; the conv-precision serving
+        # recipe is gated for EVAL numerics only — the gated fast TRAINING
+        # recipe is bfloat16, capstone-A/B'd)
+        cfg_tr = dataclasses.replace(cfg, conv_precision="highest")
         tr = synthetic.make_piece_list(7, 8, n_onsets=120)
         dp = dpool.DevicePool(*tr, data_augmentation=pools.FULL_AUGMENT,
                               rng=np.random.default_rng(0))
-        t_params = cca_model.init_model(jax.random.PRNGKey(0), cfg)
-        opt = tstate.make_optimizer(cfg.ini_learning_rate)
-        st = tstate.init_train_state(t_params, cfg, opt)
-        step = tengine.make_train_step(cfg, opt)
+        t_params = cca_model.init_model(jax.random.PRNGKey(0), cfg_tr)
+        opt = tstate.make_optimizer(cfg_tr.ini_learning_rate)
+        st = tstate.init_train_state(t_params, cfg_tr, opt)
+        step = tengine.make_train_step(cfg_tr, opt)
         del step
         # fused sub-epoch: one dispatch scans all batches (the production
         # training path; per-dispatch tunnel latency amortizes away)
-        runner = dpool.make_epoch_runner(cfg, opt, dp)
+        runner = dpool.make_epoch_runner(cfg_tr, opt, dp)
         n_batches = 100
         ent = np.arange(n_batches * cfg.batch_size) % dp.shape[0]
         ent = ent.reshape(n_batches, cfg.batch_size)
