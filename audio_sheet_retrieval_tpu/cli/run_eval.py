@@ -38,6 +38,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--tag", type=str, default=None,
                         help="override the artifact tag (dataset-size sweeps)")
     parser.add_argument("--dump_results", action="store_true")
+    parser.add_argument("--conv_precision", default=None,
+                        choices=["highest", "high", "default"],
+                        help="f32 conv precision (highest: strict "
+                             "checkpoint parity; high: 1.56x serving "
+                             "recipe, rank-agreement-lossless — "
+                             "PARITY.md 16)")
     parser.add_argument("--exp_root", type=str, default=None)
     parser.add_argument("--param_file", type=str, default=None,
                         help="explicit checkpoint path (overrides EXP_ROOT).")
@@ -50,6 +56,11 @@ def main(argv=None):
     enable_compile_cache()
     args = build_arg_parser().parse_args(argv)
     model_cfg = get_model_config(args.model)
+    if args.conv_precision is not None:
+        import dataclasses
+
+        model_cfg = dataclasses.replace(model_cfg,
+                                        conv_precision=args.conv_precision)
 
     exp_name = model_cfg.name + ("_est_UV" if args.estimate_UV else "")
     tag = args.tag or cfg_mod.compile_tag(args.train_split, args.config)
