@@ -663,6 +663,11 @@ def make_spec_embedder_batched(params, cfg, *, quantized: bool = False):
     params = jax.device_put(params)
 
     def embed(specs_all, scales_all, idx, starts):
+        if quantized:
+            # a zeros fallback would silently dequantize every spectrogram
+            # to all-zeros; only the unquantized path may omit scales
+            assert scales_all is not None, \
+                "quantized=True requires the per-piece scales array"
         return embed_p(params, specs_all,
                        jnp.zeros(specs_all.shape[0], jnp.float32)
                        if scales_all is None else scales_all,

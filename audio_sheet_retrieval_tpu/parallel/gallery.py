@@ -26,7 +26,8 @@ from audio_sheet_retrieval_tpu.parallel.mesh import DB_AXIS
 
 
 def make_sharded_topk(mesh: Mesh, k: int, axis: str = DB_AXIS,
-                      n_real: Optional[int] = None):
+                      n_real: Optional[int] = None,
+                      with_valid: bool = False):
     """Build a jitted sharded gallery search.
 
     Returned fn: (gallery_shards [N, d] (sharded on axis over dim 0),
@@ -34,10 +35,14 @@ def make_sharded_topk(mesh: Mesh, k: int, axis: str = DB_AXIS,
     ``n_real``: actual gallery row count — padding rows beyond it are masked
     to -inf BEFORE the local top-k so zero-padding can never evict real
     (possibly negative-scoring) rows.
+    ``with_valid``: the fn takes a third argument, a [N] row-validity array
+    sharded like the gallery; invalid rows (<=0) are masked to -inf. Used
+    when padding rows are INTERLEAVED with real ones (mixed-width sharded
+    sheet builds) rather than a contiguous tail.
     """
     n_shards = mesh.shape[axis]
 
-    def local_search(gal, q):
+    def _core(gal, q, valid):
         # gal: [N/m, d] local shard; q: [Q, d] replicated
         shard_size = gal.shape[0]
         base = jax.lax.axis_index(axis) * shard_size
@@ -46,7 +51,9 @@ def make_sharded_topk(mesh: Mesh, k: int, axis: str = DB_AXIS,
         # padding indices — same defensive mask as the single-chip
         # retrieval.gallery._topk_query
         scores = jnp.where(jnp.isnan(scores), -jnp.inf, scores)
-        if n_real is not None:
+        if valid is not None:
+            scores = jnp.where(valid[None, :] > 0, scores, -jnp.inf)
+        elif n_real is not None:
             col_global = base + jax.lax.broadcasted_iota(
                 jnp.int32, scores.shape, 1)
             scores = jnp.where(col_global < n_real, scores, -jnp.inf)
@@ -61,12 +68,20 @@ def make_sharded_topk(mesh: Mesh, k: int, axis: str = DB_AXIS,
         i_top = jnp.take_along_axis(i_all, pos, axis=1)
         return s_top, i_top
 
-    fn = jax.shard_map(
-        local_search, mesh=mesh,
-        in_specs=(P(axis, None), P(None, None)),
-        out_specs=(P(None, None), P(None, None)),
-        check_vma=False,
-    )
+    if with_valid:
+        fn = jax.shard_map(
+            _core, mesh=mesh,
+            in_specs=(P(axis, None), P(None, None), P(axis)),
+            out_specs=(P(None, None), P(None, None)),
+            check_vma=False,
+        )
+    else:
+        fn = jax.shard_map(
+            lambda gal, q: _core(gal, q, None), mesh=mesh,
+            in_specs=(P(axis, None), P(None, None)),
+            out_specs=(P(None, None), P(None, None)),
+            check_vma=False,
+        )
     return jax.jit(fn), n_shards
 
 
@@ -155,21 +170,29 @@ def make_sharded_piece_query(mesh: Mesh, params, cfg, gallery,
     ids_pad = np.full(total, n_pieces, np.int32)  # pad -> overflow bin
     ids_pad[:n] = np.asarray(ids, np.int32)[:n]
     ids_dev = jax.device_put(ids_pad, NamedSharding(mesh, P(None)))
-    topk_fn, _ = make_sharded_topk(mesh, k, axis, n_real=n)
+    # rows carrying the overflow id are padding — the contiguous tail AND
+    # any interleaved white-window rows of mixed-width sharded builds
+    # (build_sharded_sheet_gallery maps those to n_pieces). Masking them to
+    # -inf before the local top-k gives exact count parity with the
+    # single-chip per-piece-truncated build even when real scores are
+    # negative (they can never crowd candidate slots).
+    valid_rows = (ids_pad != n_pieces).astype(np.float32)
+    valid_dev = jax.device_put(valid_rows, NamedSharding(mesh, P(axis)))
+    topk_fn, _ = make_sharded_topk(mesh, k, axis, with_valid=True)
 
     @jax.jit
-    def q(p, gal, idtab, payload, scale, starts):
+    def q(p, gal, idtab, valid, payload, scale, starts):
         codes = embed_spec_excerpts(p, cfg, payload, scale, starts,
                                     quantized)
-        _, idx = topk_fn(gal, codes.astype(jnp.float32))
+        _, idx = topk_fn(gal, codes.astype(jnp.float32), valid)
         pid = idtab[idx]
         return jnp.sum(pid[..., None] == jnp.arange(n_pieces), axis=(0, 1))
 
     params = jax.device_put(params)
 
     def query(payload, scale, starts):
-        return q(params, gal_dev, ids_dev, payload, jnp.float32(scale),
-                 starts)
+        return q(params, gal_dev, ids_dev, valid_dev, payload,
+                 jnp.float32(scale), starts)
 
     return query
 
@@ -189,8 +212,20 @@ def build_sharded_sheet_gallery(mesh: Mesh, params, cfg,
     global max; padding windows land at the END of the row space, so
     consumers mask them with ``n_real`` (make_sharded_piece_query does).
 
+    Mixed-width corpora: the shared start grid covers the WIDEST strip, so
+    narrower pieces would contribute windows over their all-white width
+    padding. Those rows are (a) zeroed in-kernel — a zero code scores 0
+    against every query, exactly like tail-padding rows — and (b) mapped
+    to the overflow id bin (``n_pieces``) so the vote histogram ignores
+    them; this matches the single-chip build, which truncates the start
+    grid per piece (retrieval.server.initialize_sheet_db_from_imges_device).
+    Strips shorter than the tallest are vertically CENTERED in the padded
+    stack so the fixed center crop hits the same rows the single-chip
+    per-piece crop does.
+
     Returns (codes [P_pad*n_windows, d] jax.Array sharded over ``axis``,
-    ids [n_real] int64 piece ids, n_real).
+    ids [n_real] int64 piece ids (overflow bin for white-padding windows),
+    n_real).
     """
     from audio_sheet_retrieval_tpu.ops import windows as win
 
@@ -202,32 +237,42 @@ def build_sharded_sheet_gallery(mesh: Mesh, params, cfg,
     h = max(s.shape[0] for s in strips)
     w = max(s.shape[1] for s in strips)
     stack = np.full((p_pad, h, w), 255, np.uint8)
-    for i, s in enumerate(strips):
-        stack[i, :s.shape[0], :s.shape[1]] = s
     starts = win.stride_starts(w, sheet_w, stride)
     n_win = len(starts)
+    valid = np.zeros((p_pad, n_win), np.float32)
+    for i, s in enumerate(strips):
+        v_off = (h - s.shape[0]) // 2
+        stack[i, v_off:v_off + s.shape[0], :s.shape[1]] = s
+        valid[i, :len(win.stride_starts(s.shape[1], sheet_w, stride))] = 1.0
 
-    def local_build(p_, strips_local, starts_):
+    def local_build(p_, strips_local, starts_, valid_local):
         # [P/m, H, W] -> [P/m * n_win, d]; sequential per piece (lax.map)
         # keeps peak memory at one piece's window batch
-        def embed_one(strip):
-            return win._strip_embed_core(p_, strip, starts_, cfg, False,
-                                         center_crop)
+        def embed_one(args):
+            strip, v = args
+            codes1 = win._strip_embed_core(p_, strip, starts_, cfg, False,
+                                           center_crop)
+            return codes1 * v[:, None]
 
-        codes = jax.lax.map(embed_one, strips_local)
+        codes = jax.lax.map(embed_one, (strips_local, valid_local))
         return codes.reshape(-1, codes.shape[-1])
 
     build = jax.jit(jax.shard_map(
         local_build, mesh=mesh,
-        in_specs=(P(), P(axis, None, None), P()),
+        in_specs=(P(), P(axis, None, None), P(), P(axis, None)),
         out_specs=P(axis, None),
         check_vma=False,
     ))
     stack_dev = jax.device_put(stack, NamedSharding(mesh, P(axis, None,
                                                            None)))
-    codes = build(jax.device_put(params), stack_dev, jnp.asarray(starts))
-    # window rows follow piece order; padding pieces occupy the tail
-    ids = np.repeat(np.arange(n_pieces, dtype=np.int64), n_win)
+    valid_dev = jax.device_put(valid, NamedSharding(mesh, P(axis, None)))
+    codes = build(jax.device_put(params), stack_dev, jnp.asarray(starts),
+                  valid_dev)
+    # window rows follow piece order; padding pieces occupy the tail.
+    # White-padding windows of narrow pieces vote into the overflow bin.
+    ids = np.where(valid[:n_pieces].reshape(-1) > 0,
+                   np.repeat(np.arange(n_pieces, dtype=np.int64), n_win),
+                   np.int64(n_pieces))
     return codes, ids, n_pieces * n_win
 
 

@@ -446,15 +446,17 @@ class AudioSheetServer:
     def detect_score_from_spec(self, spectrogram: np.ndarray,
                                top_k: int = 1, n_candidates: int = 1,
                                verbose: bool = False, n_samples: int = 100,
-                               quantize: Optional[int] = 8):
+                               quantize: Optional[int] = 16):
         """detect_score with a spectrogram UPLOAD in one device dispatch.
 
         The minimum-wire serving mode, and the reference's own serving
         architecture (host madmom DSP, precomputed ``*_spec.npy`` uploads —
         audio_sheet_server.py:632-636): the client computes the
         log-filterbank spectrogram host-side (ops.audio.AudioProcessor.
-        process_host) and ships 1.8 kB/s (``quantize=8``), 3.7 kB/s (16) or
-        7.4 kB/s (None, f32) instead of 22 kB/s mu-law audio. Embedding,
+        process_host) and ships 3.7 kB/s (``quantize=16``, the default —
+        rank-agreement-lossless per PARITY.md 15), 1.8 kB/s (8, ~99% top-1,
+        explicit minimum-wire opt-in) or 7.4 kB/s (None, f32) instead of
+        22 kB/s mu-law audio. Embedding,
         gallery top-k and the vote histogram run fused on device; ranking
         semantics match :meth:`detect_score_from_audio`. A/B vs the f32
         path: PARITY.md item 15.

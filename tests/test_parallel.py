@@ -228,3 +228,78 @@ def test_sharded_gallery_build_and_query_end_to_end(mesh8):
         mesh8, params, cfg, codes, ids, 5, n_candidates=7, n_real=n_real)
     got_counts = np.asarray(sharded(jnp.asarray(payload), scale, qstarts))
     np.testing.assert_array_equal(got_counts, want_counts)
+
+
+def test_sharded_gallery_build_mixed_width_matches_single_chip(mesh8):
+    """MIXED-width (and -height) corpus: the sharded build's shared start
+    grid covers the widest strip, so narrower pieces' white-padding
+    windows must not become real gallery rows — ids map them to the
+    overflow bin, codes zero out, and the fused query masks them, giving
+    EXACT vote parity with the single-chip per-piece-truncated build
+    (advisor round-3 medium finding)."""
+    import jax.numpy as jnp
+
+    from audio_sheet_retrieval_tpu.models import cca_model
+    from audio_sheet_retrieval_tpu.models.configs import get_model_config
+    from audio_sheet_retrieval_tpu.ops import windows
+    from audio_sheet_retrieval_tpu.retrieval.gallery import (
+        DeviceGallery,
+        make_fused_piece_query_spec,
+    )
+
+    cfg = get_model_config("mutopia_ccal_cont_rsz", num_filters=4,
+                           dim_latent=8)
+    params = cca_model.init_model(jax.random.PRNGKey(4), cfg)
+    params = params._replace(cca=params.cca._replace(
+        U=jnp.eye(cfg.dim_latent), V=jnp.eye(cfg.dim_latent)))
+    rng = np.random.default_rng(13)
+    widths = [1400, 700, 1100, 450, 900]
+    heights = [200, 160, 200, 180, 160]
+    strips = []
+    for w_i, h_i in zip(widths, heights):
+        s = np.full((h_i, w_i), 255, np.uint8)
+        for x in rng.integers(0, w_i - 10, max(10, w_i // 20)):
+            s[rng.integers(10, h_i - 30):, x:x + 5][:12] = 0
+        strips.append(s)
+
+    codes, ids, n_real = pg.build_sharded_sheet_gallery(
+        mesh8, params, cfg, strips)
+    n_pieces = len(strips)
+    # single-chip oracle: per-piece truncated start grid (the semantics of
+    # retrieval.server.initialize_sheet_db_from_imges_device)
+    want_codes, want_ids = [], []
+    for i, s in enumerate(strips):
+        st = windows.stride_starts(s.shape[1], 200, 50)
+        embed = windows.make_strip_embedder(params, cfg, center_crop=160)
+        want_codes.append(np.asarray(embed(jnp.asarray(s),
+                                           jnp.asarray(st))))
+        want_ids.append(np.full(len(st), i, np.int64))
+    want_codes = np.concatenate(want_codes)
+    want_ids = np.concatenate(want_ids)
+
+    # sharded rows restricted to valid ids reproduce the oracle rows
+    codes_np = np.asarray(codes)[:n_real]
+    real = ids != n_pieces
+    np.testing.assert_allclose(codes_np[real], want_codes, atol=2e-5)
+    np.testing.assert_array_equal(ids[real], want_ids)
+    # white-padding windows are zeroed => can never outscore real rows
+    assert np.abs(codes_np[~real]).max() == 0.0
+
+    # fused query: counts identical to the single-chip gallery (no white
+    # window may siphon votes OR crowd candidate slots on any query,
+    # including a near-blank/quiet one)
+    for spec_scale in (4.0, 0.05):
+        spec = (rng.random((92, 260)) * spec_scale).astype(np.float32)
+        payload, scale = windows.spec_quantize(spec, bits=16)
+        qstarts = jnp.asarray(windows.linspace_starts(260, 42, 15))
+        single = make_fused_piece_query_spec(
+            params, cfg, DeviceGallery(want_codes, ids=want_ids), n_pieces,
+            n_candidates=7, quantized=True)
+        want_counts = np.asarray(single(jnp.asarray(payload), scale,
+                                        qstarts))
+        sharded = pg.make_sharded_piece_query(
+            mesh8, params, cfg, codes, ids, n_pieces, n_candidates=7,
+            n_real=n_real)
+        got_counts = np.asarray(sharded(jnp.asarray(payload), scale,
+                                        qstarts))
+        np.testing.assert_array_equal(got_counts, want_counts)
