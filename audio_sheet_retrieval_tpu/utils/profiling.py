@@ -21,12 +21,17 @@ def enable_compile_cache(cache_dir: Optional[str] = None) -> Optional[str]:
     remote-compile tunnel; call early in CLIs/benchmarks).
 
     The directory is suffixed with the active backend platform so CPU AOT
-    entries never mix into a TPU-session cache (and vice versa); the CPU
-    dir is additionally keyed by the host's CPU feature flags, because
-    XLA:CPU AOT blobs are microarchitecture-specific — loading one compiled
-    on a different machine warns `cpu_aot_loader ... could lead to
-    execution errors such as SIGILL`. Feature-keying makes stale entries
-    structurally unreachable instead of a latent flake."""
+    entries never mix into a TPU-session cache (and vice versa).
+
+    On the CPU backend the persistent cache is NOT enabled (returns None):
+    XLA:CPU AOT blobs are checked against "compile machine features" that
+    include XLA *tuning* pseudo-features (`+prefer-no-gather`,
+    `+prefer-no-scatter`) which no host's cpuinfo carries — so every load,
+    even same-host, fails the feature match and warns `cpu_aot_loader ...
+    could lead to execution errors such as SIGILL` (round-3 host-feature
+    keying could not fix this; see MULTICHIP_r03.json tail). A cache that
+    can never load cleanly is pure flake risk; CPU runs (the multi-chip
+    dryrun, virtual-mesh tests) recompile instead (~60 s)."""
     import os
 
     import jax
@@ -52,7 +57,7 @@ def enable_compile_cache(cache_dir: Optional[str] = None) -> Optional[str]:
         except Exception:
             platform = "unknown"
         if platform == "cpu":
-            platform += "-" + _host_cpu_feature_tag()
+            return None  # see docstring: XLA:CPU AOT entries never load
         cache_dir = os.path.join(base, platform)
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
@@ -60,27 +65,6 @@ def enable_compile_cache(cache_dir: Optional[str] = None) -> Optional[str]:
         return cache_dir
     except Exception:
         return None
-
-
-def _host_cpu_feature_tag() -> str:
-    """Short stable fingerprint of this host's CPU feature flags
-    (/proc/cpuinfo `flags` line; order-normalized)."""
-    import hashlib
-
-    flags = ""
-    try:
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith("flags"):
-                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
-                    break
-    except OSError:
-        pass
-    if not flags:
-        import platform as _plat
-
-        flags = f"{_plat.machine()}-{_plat.processor()}"
-    return hashlib.sha1(flags.encode()).hexdigest()[:12]
 
 
 @contextlib.contextmanager
