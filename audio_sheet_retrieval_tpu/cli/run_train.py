@@ -31,7 +31,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         default="mutopia_ccal_cont_rsz")
     parser.add_argument("--data", help="data source: mutopia | synthetic | npz:<dir>",
                         default="mutopia")
-    parser.add_argument("--resume", help="resume on pre-trained model.",
+    parser.add_argument("--resume", help="resume on pre-trained model: "
+                        "restores the FULL fit state (optimizer, early-stop "
+                        "bookkeeping, data-order RNG) from fit_state_<tag>."
+                        "pkl when present so the run continues epoch-for-"
+                        "epoch where it was killed; falls back to params-"
+                        "only reload (the reference's semantics, "
+                        "run_train.py:96-101) otherwise.",
                         action="store_true")
     parser.add_argument("--seed", type=int, default=23)
     parser.add_argument("--no_dump", help="do not dump model file.",
@@ -101,7 +107,11 @@ def main(argv=None):
     if args.show_architecture:
         print_architecture(params, model_cfg.name)
 
-    if args.resume:
+    state_file = ("fit_state.pkl" if tag is None
+                  else "fit_state_%s.pkl" % tag)
+    state_file = os.path.join(out_path, state_file)
+    if args.resume and not os.path.exists(state_file):
+        # no full snapshot: fall back to the reference's params-only resume
         print("Loading model parameters from:", dump_file)
         params = load_any_checkpoint(dump_file, model_cfg)
 
@@ -128,12 +138,17 @@ def main(argv=None):
         valid_batch_iter = dpool.DeviceBatchIterator(
             batch_size=model_cfg.batch_size, shuffle=False, train=False)
 
+    if not args.resume and os.path.exists(state_file) \
+            and jax.process_index() == 0:
+        os.remove(state_file)  # fresh run: a stale snapshot must not resume
+
     best_params, best_map = engine.fit(
         params, data, model_cfg, train_batch_iter, valid_batch_iter,
         out_path=out_path,
         dump_file=None if args.no_dump else dump_file,
         log_file=log_file,
         exp_name=model_cfg.name,
+        resume_file=state_file,
     )
     print("Best validation MAP: %.2f" % (100 * best_map))
     return best_params, best_map

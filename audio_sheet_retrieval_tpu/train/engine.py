@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import copy
 import os
+import pickle
 import time
 from typing import Callable, Dict, Optional
 
@@ -167,6 +168,72 @@ def make_fused_eval(cfg: ModelConfig):
     return fused_eval
 
 
+# --- full fit-state checkpointing (kill-and-resume) ---------------------------
+#
+# The reference's --resume reloads best PARAMS only (run_train.py:96-101) —
+# adequate single-GPU, but on a pod the restart path must reproduce the
+# interrupted trajectory exactly: optimizer state, early-stop/refinement
+# bookkeeping, results curves, and the data-order RNG state all matter.
+# fit(resume_file=...) snapshots all of it atomically at every epoch end
+# (process 0 writes; every process restores the identical snapshot, keeping
+# SPMD lockstep) so a killed run resumed on all hosts continues
+# epoch-for-epoch identical to an uninterrupted one
+# (tests/test_multiprocess.py).
+
+_FIT_STATE_VERSION = 1
+
+
+def _host_leaf(x):
+    """Device array -> host numpy; replicated multi-process arrays (not
+    fully addressable) read their local shard, which holds the full value
+    under a P() sharding."""
+    if isinstance(x, jax.Array) and not getattr(x, "is_fully_addressable",
+                                                True):
+        return np.asarray(x.addressable_shards[0].data)
+    return np.asarray(x)
+
+
+def _atomic_pickle(path: str, obj) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fp:
+        pickle.dump(obj, fp, protocol=pickle.HIGHEST_PROTOCOL)
+    os.replace(tmp, path)  # a kill mid-write can never corrupt the snapshot
+
+
+def _rng_capture(obj) -> dict:
+    """Duck-typed data-order state of a pool/iterator: numpy Generator
+    state, jax PRNG key, shuffle order, sub-epoch counter."""
+    d = {}
+    if obj is None:
+        return d
+    rng = getattr(obj, "rng", None)
+    if isinstance(rng, np.random.Generator):
+        d["rng"] = rng.bit_generator.state
+    key = getattr(obj, "_key", None)
+    if key is not None:
+        d["key"] = np.asarray(key)
+    order = getattr(obj, "_order", None)
+    if order is not None:
+        d["order"] = np.asarray(order)
+    if hasattr(obj, "epoch_counter"):
+        d["epoch_counter"] = int(obj.epoch_counter)
+    return d
+
+
+def _rng_restore(obj, d: Optional[dict]) -> None:
+    if obj is None or not d:
+        return
+    rng = getattr(obj, "rng", None)
+    if "rng" in d and isinstance(rng, np.random.Generator):
+        rng.bit_generator.state = d["rng"]
+    if "key" in d and getattr(obj, "_key", None) is not None:
+        obj._key = jnp.asarray(d["key"])
+    if "order" in d and getattr(obj, "_order", None) is not None:
+        obj._order = np.asarray(d["order"])
+    if "epoch_counter" in d and hasattr(obj, "epoch_counter"):
+        obj.epoch_counter = int(d["epoch_counter"])
+
+
 # --- fit ----------------------------------------------------------------------
 
 
@@ -186,6 +253,7 @@ def fit(
     on_epoch: Optional[Callable[[dict], None]] = None,
     update_learning_rate: Optional[Callable[[float, int], float]] = None,
     mesh=None,
+    resume_file: Optional[str] = None,
 ) -> tuple[ModelParams, float]:
     """Train with early stopping + refinement restarts; returns
     (best params, best validation MRR).
@@ -194,6 +262,13 @@ def fit(
     are replicated and every batch is sharded over the mesh's first axis —
     XLA derives the gradient all-reduce and the cross-chip CCA batch
     statistics (there is no reference analog; the reference is single-GPU).
+
+    With ``resume_file`` set, the FULL fit state (train/optimizer state,
+    best snapshot, early-stop/refinement bookkeeping, curves, pool RNG
+    state) is written atomically every epoch, and an existing file resumes
+    the run exactly where it was killed — the continued trajectory is
+    epoch-for-epoch identical to an uninterrupted run, including on
+    multi-host SPMD meshes (every process restores the same snapshot).
     """
     # on multi-host meshes only process 0 writes artifacts (checkpoints,
     # results curves) — every process computes identically under SPMD, and
@@ -229,8 +304,19 @@ def fit(
 
     say("Running Test Case: " + exp_name, BColors.UNDERLINE)
 
-    # CCA burn-in epochs (pretrain, reference :170-182)
-    for _ in range(cfg.pretrain_epochs):
+    snap = None
+    if resume_file is not None and os.path.exists(resume_file):
+        with open(resume_file, "rb") as fp:
+            snap = pickle.load(fp)
+        assert snap.get("fit_state_version") == _FIT_STATE_VERSION, (
+            f"{resume_file} has fit-state version "
+            f"{snap.get('fit_state_version')}, expected {_FIT_STATE_VERSION}")
+        say(f"Resuming full fit state from {resume_file} "
+            f"(after epoch {snap['epoch_idx']})", BColors.WARNING)
+
+    # CCA burn-in epochs (pretrain, reference :170-182); already done in
+    # the interrupted run when resuming
+    for _ in range(0 if snap is not None else cfg.pretrain_epochs):
         for x1, x2 in threaded_generator_from_iterator(
                 train_batch_iter(data["train"])):
             state = init_cca_step(state, put(x1), put(x2))
@@ -274,6 +360,57 @@ def fit(
 
     embed_runner_tr = _embed_builder(data["train"], train_batch_iter)
     embed_runner_va = _embed_builder(data.get("valid"), valid_batch_iter)
+
+    if snap is not None:
+        epoch_idx = int(snap["epoch_idx"])
+        patience = int(snap["patience"])
+        refinement_steps = int(snap["refinement_steps"])
+        learn_rate = float(snap["learn_rate"])
+        last_improvement = int(snap["last_improvement"])
+        prev_map_va = float(snap["prev_map_va"])
+        best_epoch = int(snap["best_epoch"])
+        curves = snap["curves"]
+
+        def _from_leaves(template, leaves):
+            tree = jax.tree.unflatten(jax.tree.structure(template),
+                                      [jnp.asarray(v) for v in leaves])
+            if mesh is not None:
+                tree = jax.tree.map(
+                    lambda x: jax.device_put(x, replicated), tree)
+            return tree
+
+        state = _from_leaves(state, snap["state"])
+        best_model = _from_leaves(best_model, snap["best_model"])
+        best_opt_state = _from_leaves(best_opt_state,
+                                      snap["best_opt_state"])
+        for nm, obj in (("train_pool", data.get("train")),
+                        ("valid_pool", data.get("valid")),
+                        ("train_iter", train_batch_iter),
+                        ("valid_iter", valid_batch_iter)):
+            _rng_restore(obj, snap["data_state"].get(nm))
+
+    def _write_snapshot():
+        _atomic_pickle(resume_file, {
+            "fit_state_version": _FIT_STATE_VERSION,
+            "epoch_idx": epoch_idx, "patience": patience,
+            "refinement_steps": refinement_steps,
+            "learn_rate": learn_rate,
+            "last_improvement": last_improvement,
+            "prev_map_va": prev_map_va, "best_epoch": best_epoch,
+            "curves": curves,
+            "state": [_host_leaf(x) for x in jax.tree.leaves(state)],
+            "best_model": [_host_leaf(x)
+                           for x in jax.tree.leaves(best_model)],
+            "best_opt_state": [_host_leaf(x)
+                               for x in jax.tree.leaves(best_opt_state)],
+            "data_state": {
+                "train_pool": _rng_capture(data.get("train")),
+                "valid_pool": _rng_capture(data.get("valid")),
+                "train_iter": _rng_capture(train_batch_iter),
+                "valid_iter": _rng_capture(valid_batch_iter),
+            },
+        })
+
     now = time.time()
     try:
         while epoch_idx < num_epochs:
@@ -499,6 +636,12 @@ def fit(
                         learn_rate = float(new_lr)
                 state = state._replace(
                     opt_state=ts.set_lr(state.opt_state, learn_rate))
+
+            # full kill-and-resume snapshot: written AFTER the early-stop /
+            # refinement branch so the file always holds exactly the state
+            # the next loop iteration would start from
+            if resume_file is not None and is_writer:
+                _write_snapshot()
 
     except KeyboardInterrupt:
         say("\ntraining interrupted", BColors.WARNING)

@@ -56,6 +56,54 @@ def test_fit_improves_over_chance(tmp_path):
 
 
 @pytest.mark.slow
+def test_fit_full_state_resume_matches_uninterrupted(tmp_path):
+    """fit(resume_file=...) kill-and-resume: a run stopped after epoch 2
+    and resumed from the snapshot continues bit-identically to an
+    uninterrupted run (params, optimizer, early-stop bookkeeping AND the
+    pool rng/key/order state all round-trip)."""
+    from audio_sheet_retrieval_tpu.data import device_pool as dpool
+    from audio_sheet_retrieval_tpu.data import pools as hpools
+
+    def run(outdir, resume_file, n_epochs):
+        cfg = get_model_config("mutopia_ccal_cont_rsz", num_filters=4,
+                               dim_latent=8, batch_size=16, k_samples=48,
+                               patience=50, refinement_steps=0)
+        tr = synthetic.make_piece_list(5, 4, n_onsets=40)
+        va = synthetic.make_piece_list(6, 2, n_onsets=40)
+        data = {
+            "train": dpool.DevicePool(
+                *tr, data_augmentation=hpools.FULL_AUGMENT,
+                rng=np.random.default_rng(0)),
+            "valid": dpool.DevicePool(
+                *va, data_augmentation=hpools.NO_AUGMENT, shuffle=False,
+                rng=np.random.default_rng(1)),
+        }
+        params = cca_model.init_model(jax.random.PRNGKey(0), cfg)
+        tr_it = dpool.DeviceBatchIterator(batch_size=16, k_samples=48)
+        va_it = dpool.DeviceBatchIterator(batch_size=16, shuffle=False,
+                                          train=False)
+        recs = []
+        engine.fit(params, data, cfg, tr_it, va_it, out_path=outdir,
+                   num_epochs=n_epochs, verbose=False,
+                   on_epoch=recs.append, resume_file=resume_file)
+        return recs
+
+    def key(r):
+        return (float(r["train_loss"]).hex(), float(r["valid_loss"]).hex(),
+                float(r["map_va"]).hex())
+
+    full = run(str(tmp_path / "full"), None, 4)
+    assert len(full) == 4
+    snap = str(tmp_path / "fit_state.pkl")
+    p1 = run(str(tmp_path / "p1"), snap, 2)
+    assert os.path.exists(snap)
+    p2 = run(str(tmp_path / "p2"), snap, 4)
+    assert [key(r) for r in p1] == [key(r) for r in full[:2]]
+    assert [r["number"] for r in p2] == [3, 4]
+    assert [key(r) for r in p2] == [key(r) for r in full[2:]]
+
+
+@pytest.mark.slow
 def test_refinement_restart_decays_lr(tmp_path):
     # patience 0 forces immediate 'early stopping' + one refinement restart
     cfg, data, params, tr_it, va_it = _setup(
