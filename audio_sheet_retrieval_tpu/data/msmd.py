@@ -39,10 +39,50 @@ def msmd_available() -> bool:
         return False
 
 
+def _performance_spectrogram(performance) -> np.ndarray:
+    """Load a performance's log-filterbank spectrogram, computing it from
+    raw audio when the precomputed feature is absent.
+
+    The MSMD corpus ships ``features/*_spec.npy`` per performance
+    (reference audio_sheet_server.py:634) but real collections have holes;
+    the fallback decodes the audio (``load_audio()`` -> (signal, sr) or an
+    ``audio_path`` attribute via utils.audio_io) and runs the
+    madmom-equivalent DSP chain — including the polyphase resample for
+    non-22050 Hz material (PARITY.md #4)."""
+    try:
+        return performance.load_spectrogram()
+    except Exception:
+        pass
+    from audio_sheet_retrieval_tpu.ops.audio import AudioProcessor
+
+    load_audio = getattr(performance, "load_audio", None)
+    if callable(load_audio):
+        signal, sr = load_audio()
+    else:
+        audio_path = getattr(performance, "audio_path", None)
+        if audio_path is None:
+            raise IOError(
+                f"performance {getattr(performance, 'key', '?')} has "
+                "neither a spectrogram nor audio")
+        from audio_sheet_retrieval_tpu.utils.audio_io import read_audio
+
+        signal, sr = read_audio(audio_path)
+    return AudioProcessor().process_host(np.asarray(signal),
+                                         sample_rate=int(sr))
+
+
 def prepare_piece_data_msmd(collection_dir: str, piece_name: str,
                             aug_config=NO_AUGMENT, require_audio=False):
     """Real-MSMD piece loader (reference data_pools.py:369-439): stitch pages,
-    unwrap systems, align performances, build onset->coord maps."""
+    unwrap systems, align performances, build onset->coord maps.
+
+    Ragged-corpus behavior (deliberate hardening over the reference, whose
+    per-PIECE try/except discards a whole piece when any one performance
+    fails — mutopia_data.py:31-37): a performance with a broken/empty
+    alignment or unusable features is skipped with a warning and the
+    piece survives with its remaining performances; missing precomputed
+    spectrograms fall back to on-the-fly DSP from audio (any sample
+    rate)."""
     from msmd.alignments import align_score_to_performance
     from msmd.data_model.piece import Piece
     from msmd.midi_parser import FPS, notes_to_onsets
@@ -86,17 +126,27 @@ def prepare_piece_data_msmd(collection_dir: str, piece_name: str,
                 or tempo < aug_config["tempo_range"][0]
                 or tempo > aug_config["tempo_range"][1]):
             continue
-        performance = piece.load_performance(performance_key,
-                                             require_audio=require_audio)
-        alignment = align_score_to_performance(score, performance)
-        note_events = performance.load_note_events()
-        spectrograms.append(performance.load_spectrogram())
+        try:
+            performance = piece.load_performance(performance_key,
+                                                 require_audio=require_audio)
+            alignment = align_score_to_performance(score, performance)
+            if len(alignment) == 0:
+                raise ValueError("empty alignment")
+            note_events = performance.load_note_events()
+            spec = _performance_spectrogram(performance)
+        except Exception:
+            # skip the broken performance, keep the piece (see docstring)
+            print("Problems with performance %s of %s"
+                  % (performance_key, piece_name))
+            print(sys.exc_info()[0])
+            continue
         pairs = []
         for m_objid, e_idx in alignment:
             onset_frame = notes_to_onsets([note_events[e_idx]], dt=1.0 / FPS)
             # notes_to_onsets returns an array of unique onset frames; a
             # single event yields one entry (numpy>=2 forbids int(array))
             pairs.append((m_objid, int(np.atleast_1d(onset_frame)[0])))
+        spectrograms.append(spec)
         o2c_maps.append(
             pools.onset_to_coordinates(pairs, un_wrapped_coords))
 

@@ -4,6 +4,13 @@ left-to-right) with the corresponding note-event index."""
 
 
 def align_score_to_performance(score, performance):
+    from .data_model.piece import _piece_traits
+
+    traits = _piece_traits(performance.piece.name)
+    if any(t in performance.key for t in traits["broken_align_tempi"]):
+        # real collections have performances whose alignment is missing or
+        # unparseable -- the loader must skip the performance, not the piece
+        raise KeyError(f"no alignment for performance {performance.key}")
     noteheads = []
     for page in score.load_mungos(by_page=True):
         staffs = sorted((m for m in page if m.clsname == "staff"),

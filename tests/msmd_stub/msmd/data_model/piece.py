@@ -19,6 +19,25 @@ SYNTHS = ["grand-piano-YDP-20160804", "ElectricPiano"]
 TEMPI = [950, 1000, 1300]  # milli-tempo-ratio as encoded in the perf key
 
 
+def _piece_traits(name: str) -> dict:
+    """Ragged-corpus traits keyed by piece name (the shapes a real MSMD
+    collection throws — VERDICT r3 #7):
+
+      *Ragged*   -- pages with DIFFERING system counts (3 then 1)
+      *NoAlign*  -- align_score_to_performance raises for tempo-950 perfs
+      *Audio44k* -- no precomputed spectrogram; raw 44.1 kHz audio only
+                    (exercises the loader's DSP + polyphase-resample
+                    fallback)
+    """
+    return {
+        "systems_per_page": ([3, 1] if "Ragged" in name
+                             else [SYSTEMS_PER_PAGE] * N_PAGES),
+        "broken_align_tempi": ({"tempo-950"} if "NoAlign" in name
+                               else set()),
+        "audio_only_sr": 44100 if "Audio44k" in name else None,
+    }
+
+
 class Mungo:
     def __init__(self, objid, clsname, bounding_box, middle, inlinks=()):
         self.objid = objid
@@ -41,14 +60,16 @@ class Score:
 
     def _build(self):
         rng = np.random.default_rng(_seed_for(self.piece.root, self.piece.name))
+        traits = _piece_traits(self.piece.name)
         self._images = []
         self._mungos_per_page = []
         objid = 0
-        for _ in range(N_PAGES):
+        for n_sys in traits["systems_per_page"]:
             img = np.full((PAGE_H, PAGE_W), 255, dtype=np.uint8)
             page_mungos = []
-            for s in range(SYSTEMS_PER_PAGE):
-                top = 60 + s * 160
+            spacing = (PAGE_H - 80) // max(1, n_sys)
+            for s in range(n_sys):
+                top = 40 + s * spacing
                 bbox = (top, 20, top + 40, PAGE_W - 20)
                 # draw 5 staff lines
                 for li in range(5):
@@ -89,7 +110,9 @@ class Performance:
     def __init__(self, piece: "Piece", key: str, tempo: float, synth: str):
         self.piece = piece
         self.key = key
-        n_notes = N_PAGES * SYSTEMS_PER_PAGE * NOTES_PER_SYSTEM
+        traits = _piece_traits(piece.name)
+        self._audio_only_sr = traits["audio_only_sr"]
+        n_notes = sum(traits["systems_per_page"]) * NOTES_PER_SYSTEM
         rng = np.random.default_rng(
             _seed_for(piece.root, piece.name) ^ _seed_for("perf", key))
         # one event per notehead, onsets spaced by 0.4s scaled by tempo
@@ -105,7 +128,24 @@ class Performance:
         return self._events.copy()
 
     def load_spectrogram(self):
+        if self._audio_only_sr is not None:
+            raise IOError(
+                f"{self.key}: no precomputed spectrogram feature")
         return self._spec.copy()
+
+    def load_audio(self):
+        """(int16 signal, sample_rate) -- only for *Audio44k* pieces, at a
+        NON-22050 rate so consumers must resample."""
+        assert self._audio_only_sr is not None
+        sr = self._audio_only_sr
+        dur = float(self._events[-1, 0]) + 2.0
+        t = np.arange(int(dur * sr)) / sr
+        sig = np.zeros_like(t)
+        for onset, pitch, d in self._events:
+            f0 = 440.0 * 2 ** ((pitch - 69) / 12)
+            m = (t >= onset) & (t < onset + d)
+            sig[m] += 0.2 * np.sin(2 * np.pi * f0 * t[m])
+        return (sig * 20000).astype(np.int16), sr
 
     def load_midi_matrix(self):
         n_frames = self._spec.shape[1]

@@ -109,6 +109,70 @@ def test_export_roundtrip_and_one_epoch(msmd_stub, tmp_path, monkeypatch):
     assert np.isfinite(epochs[-1]["train_loss"])
 
 
+def test_ragged_system_counts_per_page(msmd_stub):
+    """Multi-page piece whose pages have DIFFERING system counts (3 then
+    1): stitching + unwrap + onset mapping must handle the ragged layout
+    (real MSMD pieces are not uniform; VERDICT r3 #7)."""
+    from audio_sheet_retrieval_tpu.data import msmd as loader
+    from audio_sheet_retrieval_tpu.data.pools import NO_AUGMENT
+
+    image, specs, o2cs = loader.prepare_piece_data_msmd(
+        "/fake/collection", "StubPiece_Ragged", aug_config=NO_AUGMENT)
+    assert len(specs) == 1 and len(o2cs) == 1
+    # 4 systems total (3 + 1) at 8 notes each -> most onsets mapped
+    o2c = o2cs[0]
+    assert len(o2c) >= 24
+    assert (o2c[:, 0] >= 0).all()
+    assert (o2c[:, 0] < specs[0].shape[1]).all()
+    assert (o2c[:, 1] >= 0).all() and (o2c[:, 1] < image.shape[1]).all()
+    # onsets monotone along the unwrapped strip despite the ragged pages
+    order = np.argsort(o2c[:, 0])
+    assert (np.diff(o2c[order, 1]) > 0).mean() > 0.9
+
+
+def test_missing_alignment_skips_performance_not_piece(msmd_stub, capsys):
+    """A performance whose alignment is missing is skipped with a warning;
+    the piece survives with its remaining performances (the reference's
+    per-piece try/except would discard the whole piece,
+    mutopia_data.py:31-37 -- documented hardening)."""
+    from audio_sheet_retrieval_tpu.data import msmd as loader
+    from audio_sheet_retrieval_tpu.data.pools import FULL_AUGMENT
+
+    # FULL_AUGMENT admits ElectricPiano at tempo 0.95 AND 1.0; the stub
+    # breaks alignment for tempo-950 -> exactly one performance survives
+    image, specs, o2cs = loader.prepare_piece_data_msmd(
+        "/fake/collection", "StubPiece_NoAlign", aug_config=FULL_AUGMENT)
+    assert len(specs) == 1 and len(o2cs) == 1
+    assert "Problems with performance" in capsys.readouterr().out
+    # the piece-list loop keeps the piece
+    imgs, sp, oc = loader.load_piece_list(
+        ["StubPiece_NoAlign"], aug_config=FULL_AUGMENT,
+        collection_dir="/fake/collection")
+    assert len(imgs) == 1 and len(sp[0]) == 1
+
+
+def test_non_22050_audio_resample_fallback(msmd_stub):
+    """Performance with NO precomputed spectrogram and only 44.1 kHz raw
+    audio: the loader computes the log-filterbank spectrogram on the fly
+    through the polyphase resample path (PARITY.md #4); onset frames stay
+    in range of the computed feature."""
+    from audio_sheet_retrieval_tpu.data import msmd as loader
+    from audio_sheet_retrieval_tpu.data.pools import NO_AUGMENT
+
+    image, specs, o2cs = loader.prepare_piece_data_msmd(
+        "/fake/collection", "StubPiece_Audio44k", aug_config=NO_AUGMENT)
+    assert len(specs) == 1
+    spec, o2c = specs[0], o2cs[0]
+    assert spec.shape[0] == 92 and spec.dtype == np.float32
+    # ~14.8s of audio at 20 fps
+    assert spec.shape[1] > 200
+    assert np.isfinite(spec).all() and spec.max() > 0
+    assert (o2c[:, 0] < spec.shape[1]).all()
+    # the sine-mixture audio must produce energy at the note onsets
+    energy = spec.sum(axis=0)
+    assert energy[o2c[:, 0]].mean() > energy.mean() * 0.5
+
+
 def test_msmd_branch_via_select_data(msmd_stub, tmp_path, monkeypatch):
     """select_data('mutopia') reaches the real-msmd collection branch."""
     from audio_sheet_retrieval_tpu import config as cfg_mod
