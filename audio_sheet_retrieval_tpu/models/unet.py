@@ -33,13 +33,22 @@ N_DEC_STAGES = 3
 N_ARRAYS = 99
 
 
+_PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}
+
+
 def _bn_eval(h, bn):
     return (h - bn["mean"]) * (bn["inv_std"] * bn["gamma"]) + bn["beta"]
 
 
-def _conv_same(x, w, precision=jax.lax.Precision.HIGHEST):
+def _conv_same(x, w, precision=jax.lax.Precision.HIGHEST,
+               dtype=jnp.float32):
     return jax.lax.conv_general_dilated(
-        x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        x.astype(dtype), w.astype(dtype), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32, precision=precision)
 
 
@@ -48,45 +57,59 @@ def _maxpool2(x):
         x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
 
 
-def _tconv2x2(x, w_ciokl):
+def _tconv2x2(x, w_ciokl, dtype=jnp.float32):
     """Exact lasagne TransposedConv2DLayer (2x2, stride 2, no crop):
     each input pixel expands to a 2x2 block weighted by W[c, o, k, l]."""
     n, h, wdt, c = x.shape
-    y = jnp.einsum("nhwc,cokl->nhwokl", x, w_ciokl,
+    y = jnp.einsum("nhwc,cokl->nhwokl", x.astype(dtype),
+                   w_ciokl.astype(dtype),
                    preferred_element_type=jnp.float32)
     y = jnp.transpose(y, (0, 1, 4, 2, 5, 3))          # n, h, k, w, l, o
     return y.reshape(n, 2 * h, 2 * wdt, y.shape[-1])
 
 
 def unet_apply(params: Dict[str, Any], x: jnp.ndarray,
-               return_intermediates: bool = False):
+               return_intermediates: bool = False,
+               compute_dtype: str = "float32",
+               conv_precision: str = "highest"):
     """Eval-mode forward: [N, H, W, 1] float in [0, 1] -> [N, H, W] sigmoid
     probability map. H and W must be multiples of 8 (3 pooling stages).
 
     ``return_intermediates`` additionally returns the named stage
     activations (the reference Network.compute_layer_output debugging
-    facility, omr.py:138-163)."""
+    facility, omr.py:138-163).
+
+    ``compute_dtype``/``conv_precision``: the OMR arm of the serving
+    precision ladder (same methodology as the retrieval encoders,
+    models/configs.py conv_precision). Convs/tconvs run their multiplies
+    in bfloat16 or f32 bf16x3/bf16x6 passes while ACCUMULATING f32
+    (preferred_element_type) and keeping BN/ELU/sigmoid in f32 — gated on
+    detection equality (tests/test_omr.py, scripts/omr_probe.py)."""
+    precision = _PRECISIONS[conv_precision]
+    dtype = (jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32)
     h = x
     skips = []
     inter = {}
     for i, blk in enumerate(params["enc"]):
-        h = jax.nn.elu(_bn_eval(_conv_same(h, blk["w"]), blk))
+        h = jax.nn.elu(_bn_eval(_conv_same(h, blk["w"], precision, dtype),
+                                blk))
         inter[f"enc{i}"] = h
         if i % 2 == 1 and i < N_ENC_BLOCKS - 1:
             skips.append(h)
             h = _maxpool2(h)
     # skips = [p1(8ch), p2(16ch), p3(32ch)]; bottleneck h is 64ch
     for j, (stage, skip) in enumerate(zip(params["dec"], reversed(skips))):
-        h = _tconv2x2(h, stage["tconv_w"])
+        h = _tconv2x2(h, stage["tconv_w"], dtype)
         h = jax.nn.relu(_bn_eval(h, stage["tconv_bn"]))
         h = h + skip
         h = _bn_eval(h, stage["sum_bn"])
         for blk in (stage["conv1"], stage["conv2"]):
-            h = jax.nn.elu(_bn_eval(_conv_same(h, blk["w"]), blk))
+            h = jax.nn.elu(_bn_eval(_conv_same(h, blk["w"], precision,
+                                               dtype), blk))
         inter[f"dec{j}"] = h
         # dropout: identity at eval (reference system_detector.py:58,66)
     head = params["head"]
-    h = _conv_same(h, head["w"]) + head["b"]
+    h = _conv_same(h, head["w"], precision, dtype) + head["b"]
     out = jax.nn.sigmoid(h[..., 0])
     if return_intermediates:
         return out, inter

@@ -42,10 +42,13 @@ _U16 = 65535.0  # wire quantization: page up + prob map down ride as u16
 
 
 @functools.partial(jax.jit, static_argnames=("tile_h", "tile_w", "out_h",
-                                             "out_w"))
+                                             "out_w", "compute_dtype",
+                                             "conv_precision"))
 def _tiled_predict(params, image_u16: jnp.ndarray, row0: jnp.ndarray,
                    col0: jnp.ndarray, ham2d: jnp.ndarray,
-                   tile_h: int, tile_w: int, out_h: int, out_w: int):
+                   tile_h: int, tile_w: int, out_h: int, out_w: int,
+                   compute_dtype: str = "float32",
+                   conv_precision: str = "highest"):
     """image_u16 [H, W] u16-quantized [0,1] page (padded); (row0, col0)
     tile corner lists. Returns the blended probability map as u16 codes."""
     n_tiles = row0.shape[0]
@@ -56,7 +59,9 @@ def _tiled_predict(params, image_u16: jnp.ndarray, row0: jnp.ndarray,
                                      (tile_h, tile_w))
 
     tiles = jax.vmap(gather)(jnp.arange(n_tiles))[..., None]  # [T, h, w, 1]
-    probs = unet.unet_apply(params, tiles)                    # [T, h, w]
+    probs = unet.unet_apply(params, tiles,
+                            compute_dtype=compute_dtype,
+                            conv_precision=conv_precision)    # [T, h, w]
     weighted = probs * ham2d[None]
 
     R = jnp.zeros((out_h, out_w), jnp.float32)
@@ -79,23 +84,38 @@ def _tiled_predict(params, image_u16: jnp.ndarray, row0: jnp.ndarray,
 
 
 class SegmentationNetwork:
-    """U-Net predictor with sliding-window blending for large pages."""
+    """U-Net predictor with sliding-window blending for large pages.
 
-    def __init__(self, params, input_shape: Tuple[int, int] = (512, 512)):
+    ``compute_dtype``/``conv_precision`` select the OMR precision-ladder
+    arm (f32-highest = strict parity default; f32-high and bfloat16 are
+    the measured fast recipes, gated on detection equality —
+    scripts/omr_probe.py, tests/test_omr.py)."""
+
+    def __init__(self, params, input_shape: Tuple[int, int] = (512, 512),
+                 compute_dtype: str = "float32",
+                 conv_precision: str = "highest"):
         self.params = params
         self.input_shape = tuple(input_shape)
+        self.compute_dtype = compute_dtype
+        self.conv_precision = conv_precision
 
         @jax.jit
         def _direct(p, x_u16):
-            y = unet.unet_apply(p, x_u16.astype(jnp.float32) * (1.0 / _U16))
+            y = unet.unet_apply(p, x_u16.astype(jnp.float32) * (1.0 / _U16),
+                                compute_dtype=compute_dtype,
+                                conv_precision=conv_precision)
             return jnp.round(jnp.clip(y, 0.0, 1.0) * _U16
                              ).astype(jnp.uint16)
 
         self._direct = _direct
 
     @classmethod
-    def load(cls, path: str, input_shape: Tuple[int, int] = (512, 512)):
-        return cls(unet.load_unet_checkpoint(path), input_shape)
+    def load(cls, path: str, input_shape: Tuple[int, int] = (512, 512),
+             compute_dtype: str = "float32",
+             conv_precision: str = "highest"):
+        return cls(unet.load_unet_checkpoint(path), input_shape,
+                   compute_dtype=compute_dtype,
+                   conv_precision=conv_precision)
 
     def predict_proba(self, image: np.ndarray, squeeze: bool = True,
                       overlap: float = 0.5) -> np.ndarray:
@@ -144,7 +164,9 @@ class SegmentationNetwork:
             self.params, jnp.asarray(_quantize_page(padded)),
             jnp.asarray(rr.ravel()), jnp.asarray(cc.ravel()),
             jnp.asarray(ham2d), sh, sw,
-            int(padded.shape[0]), int(padded.shape[1]))
+            int(padded.shape[0]), int(padded.shape[1]),
+            compute_dtype=self.compute_dtype,
+            conv_precision=self.conv_precision)
         out = np.asarray(blended).astype(np.float32) / _U16
         return out[pad_top:padded.shape[0] - pad_bottom,
                    pad_left:padded.shape[1] - pad_right]

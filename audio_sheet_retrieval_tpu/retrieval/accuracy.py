@@ -87,6 +87,7 @@ def piece_id_accuracy(params, cfg, images: Sequence[np.ndarray],
     t_max = max(s.shape[1] for s in specs)
     rank1 = rank5 = n = 0
     lat = []
+    margins = []
     for p, spec in enumerate(specs):
         spec = np.asarray(spec, np.float32)
         padded = np.zeros((spec.shape[0], t_max), np.float32)
@@ -112,5 +113,17 @@ def piece_id_accuracy(params, cfg, images: Sequence[np.ndarray],
             rank1 += rank <= 1
             rank5 += rank <= 5
             n += 1
+            # signed vote margin: votes for the true piece minus the best
+            # impostor — the distance from the decision boundary this
+            # query sat at (<= 0 means the vote was lost/tied); its
+            # distribution is what discriminates recipes a saturated
+            # rank<=1 count cannot (VERDICT r3 weak #1)
+            others = np.delete(counts, p)
+            margins.append(int(counts[p]) - int(others.max()))
+    margins = np.asarray(margins)
     return {"rank1": int(rank1), "rank5": int(rank5), "n": int(n),
-            "p50_ms": float(np.percentile(lat, 50) * 1000)}
+            "p50_ms": float(np.percentile(lat, 50) * 1000),
+            "margins": margins,
+            "margin_p10": float(np.percentile(margins, 10)),
+            "margin_p50": float(np.percentile(margins, 50)),
+            "margin_min": int(margins.min())}

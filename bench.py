@@ -551,6 +551,10 @@ def main():
                                     **kw)
         acc_bf16 = piece_id_accuracy(t_params, cfg_bf16, te[0], te_specs,
                                      **kw)
+        # the raw per-query margin array is for the sweep harness
+        # (scripts/accuracy_sweep.py); the JSON line keeps the percentiles
+        acc_f32.pop("margins", None)
+        acc_bf16.pop("margins", None)
         log(f"ground-truth piece-ID (60 held-out pieces, 100-excerpt "
             f"queries, trained synth ckpt): f32 rank<=1 {acc_f32['rank1']}/"
             f"{acc_f32['n']} rank<=5 {acc_f32['rank5']}/{acc_f32['n']} | "

@@ -125,3 +125,56 @@ def test_onset_to_coordinates_dedup():
     assert m.shape == (2, 2)
     assert m[0].tolist() == [10, 100]  # first mapping per onset frame kept
     assert m[1].tolist() == [14, 200]
+
+
+def test_confusable_piece_list_structure():
+    """Hard-corpus generator (VERDICT r3 #1): shared motif bank,
+    transposed copies, near-duplicates — rendered identically to the
+    training distribution."""
+    from audio_sheet_retrieval_tpu.data import synthetic
+
+    imgs, specs, o2cs, kinds = synthetic.make_confusable_piece_list(
+        31, 9, n_onsets=60)
+    assert kinds == ["base", "transposed", "neardup"] * 3
+    # all pieces share geometry
+    assert all(im.shape == imgs[0].shape for im in imgs)
+    # near-duplicate differs from its base in only a few note glyphs
+    nd_diff = (imgs[0] != imgs[2]).mean()
+    assert 0 < nd_diff < 0.02
+    # transposition moves EVERY notehead (same x grid, shifted y)
+    tr_diff = (imgs[0] != imgs[1]).mean()
+    assert tr_diff > nd_diff
+    # distinct bases are distinct
+    assert (imgs[0] != imgs[3]).mean() > nd_diff
+    # onset maps identical across the triple (same x grid/onset frames)
+    np.testing.assert_array_equal(o2cs[0][0], o2cs[1][0])
+    # deterministic
+    imgs2, _, _, kinds2 = synthetic.make_confusable_piece_list(
+        31, 9, n_onsets=60)
+    assert kinds2 == kinds and np.array_equal(imgs2[4], imgs[4])
+
+
+def test_piece_id_accuracy_margins_consistent():
+    """piece_id_accuracy margin bookkeeping: errors (margin<=0) and
+    rank<=1 counts are two views of the same outcomes."""
+    import jax
+
+    from audio_sheet_retrieval_tpu.data import synthetic
+    from audio_sheet_retrieval_tpu.models import cca_model
+    from audio_sheet_retrieval_tpu.models.configs import get_model_config
+    from audio_sheet_retrieval_tpu.retrieval.accuracy import piece_id_accuracy
+
+    imgs, specs, o2cs, _ = synthetic.make_confusable_piece_list(
+        7, 6, n_onsets=40)
+    cfg = get_model_config("mutopia_ccal_cont_rsz", num_filters=4,
+                           dim_latent=8)
+    params = cca_model.init_model(jax.random.PRNGKey(1), cfg)
+    acc = piece_id_accuracy(params, cfg, imgs, [s[0] for s in specs],
+                            coords=[oc[0][:, 1] for oc in o2cs],
+                            queries_per_piece=1, excerpts_per_query=8,
+                            quantize=16)
+    m = acc["margins"]
+    assert len(m) == acc["n"] == 6
+    # a strictly positive margin IS a rank-1 hit under the pessimistic
+    # tie rule; margin 0 is a tie and counts as rank>=2
+    assert int((m > 0).sum()) == acc["rank1"]

@@ -173,3 +173,58 @@ def test_real_bar_detection_on_tutorial_page():
     systems = omr.detect_systems(prep)
     bars = omr.detect_bars(prep, systems=systems)
     assert len(bars) >= 6  # at least one barline per system
+
+
+@pytest.mark.skipif(not _assets.has_asset("omr_system.npz"),
+                    reason="vendored OMR assets missing")
+def test_unet_precision_ladder_close_on_real_checkpoint():
+    """bf16 / f32-high arms stay within the trained network's noise floor
+    of the f32-highest parity arm on a real 512x512 page tile (the
+    detection gate itself is the slow test below). Random unnormalized
+    params are NOT a valid probe here — their activations grow ~5x/layer
+    and bf16 deviation explodes, which says nothing about the trained,
+    BN-normalized checkpoint (measured: max prob deviation 0.04, 182 of
+    986k threshold flips on the full page, detections identical)."""
+    import cv2
+
+    img = cv2.imread(PAGE, 0)
+    img = cv2.resize(img, (835, int(835 / img.shape[1] * img.shape[0])))
+    tile = inference.prepare_image(img)[100:612, 100:612]
+    params = inference.SegmentationNetwork.load(
+        _resolve_omr(OMR_DIR, "system")).params
+    ref = inference.SegmentationNetwork(params).predict_proba(tile)
+    for dtype, prec in (("float32", "high"), ("bfloat16", "default")):
+        got = inference.SegmentationNetwork(
+            params, compute_dtype=dtype,
+            conv_precision=prec).predict_proba(tile)
+        assert np.abs(got - ref).max() < 0.1, (dtype, prec)
+        flips = np.logical_xor(got > 0.5, ref > 0.5).mean()
+        assert flips < 5e-3, (dtype, prec, flips)
+
+
+@pytest.mark.skipif(not _assets.has_asset("omr_system.npz"),
+                    reason="vendored OMR assets missing")
+@pytest.mark.slow
+def test_omr_precision_ladder_detection_equality_gate():
+    """The OMR fast recipes (f32-high, bfloat16) are gated on DETECTION
+    equality (VERDICT r3 #3): detect_systems corner arrays on the real
+    tutorial page must be identical to the f32-highest parity arm."""
+    import cv2
+
+    img = cv2.imread(PAGE, 0)
+    img = cv2.resize(img, (835, int(835 / img.shape[1] * img.shape[0])))
+    prep = inference.prepare_image(img)
+    params = inference.SegmentationNetwork.load(
+        _resolve_omr(OMR_DIR, "system")).params
+
+    ref_net = inference.SegmentationNetwork(params)
+    ref = detectors.OpticalMusicRecognizer(
+        system_detector=ref_net).detect_systems(prep)
+    assert len(ref) == 6
+    for dtype, prec in (("float32", "high"), ("bfloat16", "default")):
+        net = inference.SegmentationNetwork(params, compute_dtype=dtype,
+                                            conv_precision=prec)
+        got = detectors.OpticalMusicRecognizer(
+            system_detector=net).detect_systems(prep)
+        assert got.shape == ref.shape, (dtype, prec)
+        np.testing.assert_array_equal(got, ref, err_msg=f"{dtype}-{prec}")
