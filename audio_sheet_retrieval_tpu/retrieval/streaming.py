@@ -30,7 +30,12 @@ class StreamingRetriever:
 
     def __init__(self, params, cfg: ModelConfig, gallery_codes: np.ndarray,
                  gallery_piece_ids: np.ndarray, n_candidates: int = 25,
-                 spec_max: Optional[float] = None):
+                 spec_max: Optional[float] = None,
+                 use_pallas_topk: bool = False):
+        """``use_pallas_topk``: score+select via the streaming Pallas
+        kernel (ops/topk_gallery.py) instead of dot + lax.top_k — at
+        million-row galleries the kernel never materializes the [1, N]
+        score row and reads the gallery from HBM exactly once per frame."""
         self.cfg = cfg
         self.n_candidates = int(n_candidates)
         bins, ctx = cfg.input_shape_2[1], cfg.input_shape_2[2]
@@ -57,12 +62,23 @@ class StreamingRetriever:
                               0.0, 1.0)
             x = prepare_view2_device(running[None, None])
             code = cca_model.embed_view2(p, x, cfg)          # [1, d]
-            scores = jnp.dot(code, gal.T,
-                             preferred_element_type=jnp.float32)[0]
-            # NaN codes (untrained zero projections) must degrade
-            # deterministically, like DeviceGallery's masked path
-            scores = jnp.where(jnp.isnan(scores), -jnp.inf, scores)
-            _, idx = jax.lax.top_k(scores, n_cand)
+            if use_pallas_topk:
+                from audio_sheet_retrieval_tpu.ops.topk_gallery import (
+                    topk_gallery,
+                )
+
+                # NaN defense lives inside the kernel's running merge
+                # (padding rows never beat real rows)
+                _, idx = topk_gallery(
+                    jnp.where(jnp.isnan(code), 0.0, code), gal, n_cand)
+                idx = idx[0]
+            else:
+                scores = jnp.dot(code, gal.T,
+                                 preferred_element_type=jnp.float32)[0]
+                # NaN codes (untrained zero projections) must degrade
+                # deterministically, like DeviceGallery's masked path
+                scores = jnp.where(jnp.isnan(scores), -jnp.inf, scores)
+                _, idx = jax.lax.top_k(scores, n_cand)
             return running, m_prob, ids[idx]
 
         self._step = jax.jit(one_frame)
@@ -78,6 +94,20 @@ class StreamingRetriever:
             return running, probs, cands
 
         self._step_chunk = step_chunk
+
+        @jax.jit
+        def step_chunk_q(p, gal, ids, running, codes_u16, scale, norm):
+            """u16-quantized chunk ingest: frames ride the wire as codes
+            (ops.windows.spec_quantize — 2 B/bin/frame, the serving-gated
+            spec-u16 coding) and dequantize inside the SAME dispatch."""
+            from audio_sheet_retrieval_tpu.ops.windows import (
+                spec_dequantize_device,
+            )
+
+            frames = spec_dequantize_device(codes_u16, scale)  # elementwise
+            return step_chunk(p, gal, ids, running, frames, norm)
+
+        self._step_chunk_q = step_chunk_q
 
     def reset(self, spec_max: Optional[float] = None):
         self._running = jnp.zeros_like(self._running)
@@ -114,10 +144,25 @@ class StreamingRetriever:
         self._running, probs, cands = self._step_chunk(
             self._params, self._gal, self._ids, self._running,
             jnp.asarray(frames), jnp.float32(self._norm))
+        return self._gate_chunk(probs, cands, len(frames))
+
+    def push_frames_quantized(self, codes: np.ndarray, scale):
+        """Chunked streaming with the u16/u8 spec wire coding: ``codes``
+        [T, bins] integer codes + the payload scale from
+        ops.windows.spec_quantize (2 B/bin/frame at u16 instead of 4 —
+        the serving-gated minimum-wire frame ingest); dequantize runs
+        inside the same single dispatch."""
+        self._running, probs, cands = self._step_chunk_q(
+            self._params, self._gal, self._ids, self._running,
+            jnp.asarray(codes), jnp.float32(scale),
+            jnp.float32(self._norm))
+        return self._gate_chunk(probs, cands, len(codes))
+
+    def _gate_chunk(self, probs, cands, n: int):
         probs = np.asarray(probs)
         cands = np.asarray(cands)
         out = []
-        for t in range(len(frames)):
+        for t in range(n):
             self._frames_seen += 1
             if probs[t] > 0.5 and self._frames_seen > self.window_len:
                 out.append(cands[t])
