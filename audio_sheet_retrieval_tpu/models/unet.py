@@ -41,20 +41,30 @@ _PRECISIONS = {
 
 
 def _bn_eval(h, bn):
-    return (h - bn["mean"]) * (bn["inv_std"] * bn["gamma"]) + bn["beta"]
+    # fold scale/shift at the activation dtype: on the bf16 path this
+    # keeps the elementwise traffic half-width (the U-Net is channel-
+    # starved, 8-64ch, so it is HBM-bound, not MXU-bound — per-layer
+    # f32<->bf16 converts COST more than bf16 multiplies save)
+    dt = h.dtype
+    return (h - bn["mean"].astype(dt)) \
+        * (bn["inv_std"] * bn["gamma"]).astype(dt) + bn["beta"].astype(dt)
 
 
 def _conv_same(x, w, precision=jax.lax.Precision.HIGHEST,
                dtype=jnp.float32):
-    return jax.lax.conv_general_dilated(
+    y = jax.lax.conv_general_dilated(
         x.astype(dtype), w.astype(dtype), (1, 1), "SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32, precision=precision)
+    return y.astype(dtype)
 
 
 def _maxpool2(x):
+    # init value as a numpy scalar of the operand dtype (a jnp array here
+    # would be closed over as a tracer constant under jit)
     return jax.lax.reduce_window(
-        x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+        x, np.array(-np.inf, x.dtype), jax.lax.max, (1, 2, 2, 1),
+        (1, 2, 2, 1), "VALID")
 
 
 def _tconv2x2(x, w_ciokl, dtype=jnp.float32):
@@ -64,6 +74,7 @@ def _tconv2x2(x, w_ciokl, dtype=jnp.float32):
     y = jnp.einsum("nhwc,cokl->nhwokl", x.astype(dtype),
                    w_ciokl.astype(dtype),
                    preferred_element_type=jnp.float32)
+    y = y.astype(dtype)
     y = jnp.transpose(y, (0, 1, 4, 2, 5, 3))          # n, h, k, w, l, o
     return y.reshape(n, 2 * h, 2 * wdt, y.shape[-1])
 
@@ -81,10 +92,13 @@ def unet_apply(params: Dict[str, Any], x: jnp.ndarray,
 
     ``compute_dtype``/``conv_precision``: the OMR arm of the serving
     precision ladder (same methodology as the retrieval encoders,
-    models/configs.py conv_precision). Convs/tconvs run their multiplies
-    in bfloat16 or f32 bf16x3/bf16x6 passes while ACCUMULATING f32
-    (preferred_element_type) and keeping BN/ELU/sigmoid in f32 — gated on
-    detection equality (tests/test_omr.py, scripts/omr_probe.py)."""
+    models/configs.py conv_precision). On the bfloat16 arm the WHOLE
+    pipeline (activations, BN folds, ELU, pools) runs bf16 — this U-Net
+    is channel-starved (8-64 ch) and HBM-bound, so per-layer f32<->bf16
+    converts around f32 elementwise ops cost more traffic than they save;
+    convs/tconvs still ACCUMULATE f32 (preferred_element_type). The head
+    bias-add and sigmoid stay f32. Gated on detection equality
+    (tests/test_omr.py, scripts/omr_probe.py)."""
     precision = _PRECISIONS[conv_precision]
     dtype = (jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32)
     h = x

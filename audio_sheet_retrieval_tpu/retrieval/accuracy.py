@@ -20,42 +20,20 @@ from typing import Dict, Sequence
 import numpy as np
 
 
-def piece_id_accuracy(params, cfg, images: Sequence[np.ndarray],
-                      specs: Sequence[np.ndarray], *,
-                      coords: Sequence[np.ndarray] = None,
-                      n_candidates: int = 25, queries_per_piece: int = 3,
-                      excerpts_per_query: int = 25,
-                      quantize: int = 16) -> Dict:
-    """-> {"rank1": k, "rank5": m, "n": q, "p50_ms": ...} ground-truth
-    piece-ID accuracy of the fused spec serving path under ``cfg``
-    (set cfg.compute_dtype to A/B dtypes).
-
-    ``images``: per-piece [H, W] uint8 unrolled strips (gallery);
-    ``specs``: per-piece [bins, T] float32 spectrograms (queries);
-    ``coords``: optional per-piece notehead x-coordinates — when given,
-    gallery snippets center on them (the reference's initialize_sheet_db
-    builds its DB from the onset-aligned pool, audio_sheet_server.py:
-    309-354, which matches the training distribution and ranks much
-    better than uniform stride windows); otherwise stride context//4
-    sliding windows (the from_imges path, :403-445).
-    Strip/spec geometries are padded to common shapes so each jitted
-    program compiles exactly once.
-    """
-    import time
-
+def build_piece_gallery(params, cfg, images: Sequence[np.ndarray], *,
+                        coords: Sequence[np.ndarray] = None):
+    """Embed every piece strip into one device-resident gallery (the
+    serving DB build). Returns a DeviceGallery with per-window piece ids.
+    Split out of :func:`piece_id_accuracy` so sweeps that vary only the
+    QUERY knobs (excerpts_per_query, spec quantization) amortize the
+    gallery build (scripts/accuracy_sweep.py runs 30 cells over 6
+    galleries)."""
     import jax.numpy as jnp
 
     from audio_sheet_retrieval_tpu.ops import windows as win
-    from audio_sheet_retrieval_tpu.retrieval.gallery import (
-        DeviceGallery,
-        make_fused_piece_query_spec,
-    )
+    from audio_sheet_retrieval_tpu.retrieval.gallery import DeviceGallery
 
     sheet_w = cfg.input_shape_1[2]
-    spec_w = cfg.input_shape_2[2]
-    n_pieces = len(images)
-
-    # gallery: pad strips to one common width -> one embed program
     w_max = max(im.shape[1] for im in images)
     if coords is not None:
         starts_list = [
@@ -77,8 +55,46 @@ def piece_id_accuracy(params, cfg, images: Sequence[np.ndarray],
         c = np.asarray(embed(jnp.asarray(padded), jnp.asarray(st)))
         codes.append(c[:n_starts[p]])
         ids.append(np.full(n_starts[p], p, np.int64))
-    gallery = DeviceGallery(np.concatenate(codes),
-                            ids=np.concatenate(ids))
+    return DeviceGallery(np.concatenate(codes), ids=np.concatenate(ids))
+
+
+def piece_id_accuracy(params, cfg, images: Sequence[np.ndarray],
+                      specs: Sequence[np.ndarray], *,
+                      coords: Sequence[np.ndarray] = None,
+                      n_candidates: int = 25, queries_per_piece: int = 3,
+                      excerpts_per_query: int = 25,
+                      quantize: int = 16, gallery=None) -> Dict:
+    """-> {"rank1": k, "rank5": m, "n": q, "p50_ms": ...} ground-truth
+    piece-ID accuracy of the fused spec serving path under ``cfg``
+    (set cfg.compute_dtype to A/B dtypes).
+
+    ``images``: per-piece [H, W] uint8 unrolled strips (gallery);
+    ``specs``: per-piece [bins, T] float32 spectrograms (queries);
+    ``coords``: optional per-piece notehead x-coordinates — when given,
+    gallery snippets center on them (the reference's initialize_sheet_db
+    builds its DB from the onset-aligned pool, audio_sheet_server.py:
+    309-354, which matches the training distribution and ranks much
+    better than uniform stride windows); otherwise stride context//4
+    sliding windows (the from_imges path, :403-445).
+    Strip/spec geometries are padded to common shapes so each jitted
+    program compiles exactly once. Pass a prebuilt ``gallery`` (from
+    :func:`build_piece_gallery`) to amortize the DB build across calls
+    that vary only query knobs.
+    """
+    import time
+
+    from audio_sheet_retrieval_tpu.ops import windows as win
+    from audio_sheet_retrieval_tpu.retrieval.gallery import (
+        make_fused_piece_query_spec,
+    )
+
+    import jax.numpy as jnp
+
+    spec_w = cfg.input_shape_2[2]
+    n_pieces = len(images)
+
+    if gallery is None:
+        gallery = build_piece_gallery(params, cfg, images, coords=coords)
 
     query = make_fused_piece_query_spec(params, cfg, gallery, n_pieces,
                                         n_candidates=n_candidates,

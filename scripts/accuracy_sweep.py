@@ -37,16 +37,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-ARMS = [
-    ("f32-highest+u16", "float32", "highest", 16),
-    ("f32-high+u16", "float32", "high", 16),
-    ("bf16+u16", "bfloat16", "default", 16),
-    ("f32-high+u8", "float32", "high", 8),
-    ("bf16+u8", "bfloat16", "default", 8),
+# (compute_dtype, conv_precision) -> wire arms (spec quantize bits)
+LADDER = [
+    ("f32-highest", "float32", "highest", (16,)),
+    ("f32-high", "float32", "high", (16, 8)),
+    ("bf16", "bfloat16", "default", (16, 8)),
 ]
-# (gallery mode, excerpts_per_query, queries_per_piece)
-CELLS = [("onset", 100, 1), ("onset", 25, 2), ("onset", 5, 3),
-         ("stride", 100, 1), ("stride", 25, 2), ("stride", 5, 3)]
+# (excerpts_per_query, queries_per_piece)
+DIFFICULTY = [(100, 1), (25, 2), (5, 3)]
+MODES = ("onset", "stride")
 
 
 def main(argv=None):
@@ -61,7 +60,10 @@ def main(argv=None):
     from audio_sheet_retrieval_tpu.data import synthetic
     from audio_sheet_retrieval_tpu.models import cca_model
     from audio_sheet_retrieval_tpu.models.configs import get_model_config
-    from audio_sheet_retrieval_tpu.retrieval.accuracy import piece_id_accuracy
+    from audio_sheet_retrieval_tpu.retrieval.accuracy import (
+        build_piece_gallery,
+        piece_id_accuracy,
+    )
     from audio_sheet_retrieval_tpu.utils import io as uio
     from audio_sheet_retrieval_tpu.utils.profiling import enable_compile_cache
 
@@ -86,32 +88,41 @@ def main(argv=None):
           f"{args.n_onsets} onsets each", file=sys.stderr)
 
     results = {}
-    for label, dtype, prec, qbits in ARMS:
+    for base, dtype, prec, qbits_arms in LADDER:
         cfg = dataclasses.replace(cfg0, compute_dtype=dtype,
                                   conv_precision=prec)
-        for mode, epq, qpp in CELLS:
+        for mode in MODES:
             t0 = time.time()
-            acc = piece_id_accuracy(
-                params, cfg, images, te_specs,
-                coords=coords if mode == "onset" else None,
-                queries_per_piece=qpp, excerpts_per_query=epq,
-                quantize=qbits)
-            m = acc.pop("margins")
-            errors = int((m <= 0).sum())
-            cell = {
-                "rank1": acc["rank1"], "rank5": acc["rank5"],
-                "n": acc["n"], "errors": errors,
-                "margin_min": acc["margin_min"],
-                "margin_p10": acc["margin_p10"],
-                "margin_p50": acc["margin_p50"],
-            }
-            results[f"{label}|{mode}|e{epq}"] = cell
-            print(f"{label:16s} {mode:6s} e={epq:3d}: "
-                  f"rank<=1 {acc['rank1']}/{acc['n']} "
-                  f"rank<=5 {acc['rank5']}/{acc['n']} "
-                  f"margin min/p10/p50 {acc['margin_min']}/"
-                  f"{acc['margin_p10']:.0f}/{acc['margin_p50']:.0f} "
-                  f"({time.time() - t0:.0f}s)", file=sys.stderr)
+            gallery = build_piece_gallery(
+                params, cfg, images,
+                coords=coords if mode == "onset" else None)
+            print(f"{base:12s} {mode:6s}: gallery "
+                  f"{gallery.n} rows ({time.time() - t0:.0f}s)",
+                  file=sys.stderr)
+            for qbits in qbits_arms:
+                label = f"{base}+u{qbits}"
+                for epq, qpp in DIFFICULTY:
+                    t0 = time.time()
+                    acc = piece_id_accuracy(
+                        params, cfg, images, te_specs,
+                        queries_per_piece=qpp, excerpts_per_query=epq,
+                        quantize=qbits, gallery=gallery)
+                    m = acc.pop("margins")
+                    errors = int((m <= 0).sum())
+                    cell = {
+                        "rank1": acc["rank1"], "rank5": acc["rank5"],
+                        "n": acc["n"], "errors": errors,
+                        "margin_min": acc["margin_min"],
+                        "margin_p10": acc["margin_p10"],
+                        "margin_p50": acc["margin_p50"],
+                    }
+                    results[f"{label}|{mode}|e{epq}"] = cell
+                    print(f"{label:16s} {mode:6s} e={epq:3d}: "
+                          f"rank<=1 {acc['rank1']}/{acc['n']} "
+                          f"rank<=5 {acc['rank5']}/{acc['n']} "
+                          f"margin min/p10/p50 {acc['margin_min']}/"
+                          f"{acc['margin_p10']:.0f}/{acc['margin_p50']:.0f} "
+                          f"({time.time() - t0:.0f}s)", file=sys.stderr)
 
     out = {"n_pieces": args.n_pieces, "n_onsets": args.n_onsets,
            "seed": args.seed, "cells": results}
