@@ -36,14 +36,21 @@ Env knobs:
                     pack4: lossy 4-bit (cosine >= 0.99996, 0.5 B/px) |
                     raw: uint8
   ASR_BENCH_PACK4   legacy alias: =0 selects raw when ASR_BENCH_SHEET unset
-  ASR_BENCH_AUDIO   specu16 (default): host DSP + u16-quantized
-                    log-filterbank spectrogram upload, 3.7 kB/s — the
+  ASR_BENCH_AUDIO   specu8 (default): host DSP + u8-quantized
+                    log-filterbank spectrogram upload, 1.8 kB/s — the
                     reference's own serving architecture (host madmom,
-                    precomputed *_spec.npy uploads); A/B on the reference
-                    checkpoint + recording: cosine >= 0.99997, top-1/top-5
-                    rankings 100% identical (PARITY.md 15) | specu8:
-                    1.8 kB/s, 99% top-1 | specf32: 7.4 kB/s | mulaw: 8-bit
-                    companded waveform, 22 kB/s (PARITY.md 12) | int16: raw
+                    precomputed *_spec.npy uploads). Gated by the round-4
+                    hard-corpus sweep (RESULTS.md): indistinguishable from
+                    u16 in every cell of a 300-piece confusable corpus x
+                    query-difficulty grid (max delta 3/900, both signs) —
+                    the earlier 99% top-1 vs u16 (PARITY.md 15) was
+                    near-tie churn, not systematic loss | specu16:
+                    3.7 kB/s, strictly rank-agreement-lossless on the
+                    reference checkpoint + recording (cosine >= 0.99997,
+                    top-1/top-5 100% identical; the API default for
+                    detect_score_from_spec) | specf32: 7.4 kB/s | mulaw:
+                    8-bit companded waveform, 22 kB/s (PARITY.md 12) |
+                    int16: raw
   ASR_BENCH_MULAW   legacy alias: 1 -> mulaw, 0 -> int16 (when
                     ASR_BENCH_AUDIO unset)
 
@@ -166,7 +173,7 @@ def main():
     audio_mode = os.environ.get("ASR_BENCH_AUDIO")
     if audio_mode is None:
         legacy = os.environ.get("ASR_BENCH_MULAW")
-        audio_mode = {None: "specu16", "1": "mulaw",
+        audio_mode = {None: "specu8", "1": "mulaw",
                       "0": "int16"}[legacy]
     if audio_mode not in ("specu16", "specu8", "specf32", "mulaw", "int16"):
         raise SystemExit(
