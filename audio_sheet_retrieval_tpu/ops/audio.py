@@ -85,7 +85,13 @@ class AudioProcessor:
         self._filterbank_host = fb_host
         self.filterbank = jnp.asarray(fb_host, jnp.float32)
         self.num_bins = int(self.filterbank.shape[1])
-        self._window = jnp.asarray(np.hanning(frame_size), jnp.float32)
+        win_host = np.hanning(frame_size).astype(np.float32)
+        self._window_host = win_host
+        self._window = jnp.asarray(win_host, jnp.float32)
+        # smallest m with m*hop integral -> phase-strided host frame gather
+        self._gather_phases = next(
+            (m for m in range(1, 9)
+             if float(self.hop_size * m).is_integer()), None)
 
     def process(self, signal: np.ndarray,
                 sample_rate: Optional[int] = None) -> np.ndarray:
@@ -134,6 +140,16 @@ class AudioProcessor:
         max abs diff ~2e-6 on 60 s of audio; tested at 2e-4 float32
         tolerance — the embedding A/B lives in tests/test_windows.py).
 
+        The frame gather is phase-strided: with hop = sr/fps fractional
+        but m*hop integral (m=2 at the reference's 22050/20), frame k's
+        madmom-truncated start int(k*hop) decomposes exactly as
+        (k//m)*(m*hop) + int((k%m)*hop), so the [nf, frame_size] gather is
+        m zero-copy strided views + one windowed multiply instead of a
+        materialized index matrix (measured 15 -> 2.6 ms on 60 s of audio;
+        a scalar-C++ fused encoder was evaluated and LOSES here — scipy's
+        pocketfft does the 1200-frame rfft at ~25 GFLOP/s SIMD, see
+        RESULTS.md round 4).
+
         Returns [num_bins, num_frames] float32.
         """
         signal = np.asarray(signal)
@@ -145,7 +161,7 @@ class AudioProcessor:
             scale = float(np.iinfo(signal.dtype).max)
         else:
             scale = 1.0
-        window = np.hanning(self.frame_size).astype(np.float32) / scale
+        window = self._window_host / np.float32(scale)
 
         n = len(signal)
         nf = num_frames_for(n, self.hop_size)
@@ -154,8 +170,20 @@ class AudioProcessor:
         sig = np.zeros(pad_to, np.float32)
         sig[:n] = signal.astype(np.float32)
 
-        idx = starts[:, None] + np.arange(self.frame_size)[None, :]
-        frames = sig[idx] * window[None, :]
+        m = self._gather_phases
+        if m is not None and nf > 0:
+            fs = self.frame_size
+            frames = np.empty((nf, fs), np.float32)
+            stride_b = int(self.hop_size * m) * sig.itemsize
+            for p in range(m):
+                rows = len(range(p, nf, m))
+                view = np.lib.stride_tricks.as_strided(
+                    sig[int(p * self.hop_size):], (rows, fs),
+                    (stride_b, sig.itemsize))
+                np.multiply(view, window[None, :], out=frames[p::m])
+        else:  # pragma: no cover - non-integral m*hop for all m <= 8
+            idx = starts[:, None] + np.arange(self.frame_size)[None, :]
+            frames = sig[idx] * window[None, :]
         try:
             # scipy computes the rfft natively in float32 (numpy upcasts
             # to float64 — measured ~4x slower on 60 s of audio)

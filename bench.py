@@ -252,6 +252,21 @@ def main():
         strips = raw_strips
         sheet_bytes = [s_.nbytes for s_ in strips]
     sheet_encode_s = time.perf_counter() - t_sheet_enc
+    # best-of-3 re-timing of the identical encode pass: on this 1-core
+    # host a background process inflates a single pass several-x
+    # (observed 42 -> 196 ms/piece DSP across otherwise identical runs);
+    # min is the uncontended client-encode figure
+    sheet_enc_fn = {"pack4": win.pack_strip_4bit,
+                    "rle2": win.rle_bitmap2_encode_strip,
+                    "rle": win.rle_bitmap_encode_strip,
+                    "rlepairs": win.rle_encode_strip}.get(sheet_mode)
+    if sheet_enc_fn is not None:
+        for _ in range(2):
+            t_re = time.perf_counter()
+            for s_ in raw_strips:
+                sheet_enc_fn(s_)
+            sheet_encode_s = min(sheet_encode_s,
+                                 time.perf_counter() - t_re)
     audios = [(rng.standard_normal(n_samples) * 3000).astype(np.int16)
               for _ in range(n_pieces)]
     raw_audios = audios
@@ -270,6 +285,16 @@ def main():
             audio_payloads = [win.spec_quantize(s, bits=bits)
                               for s in spec_list]
         audio_encode_s = time.perf_counter() - t_dsp
+        for _ in range(2):  # best-of-3 (see sheet encode above)
+            t_re = time.perf_counter()
+            sl_re = [proc.process_host(a) for a in audios]
+            dsp_re = (time.perf_counter() - t_re) / n_pieces * 1000
+            if audio_mode != "specf32":
+                for s in sl_re:
+                    win.spec_quantize(s, bits=bits)
+            audio_encode_s = min(audio_encode_s,
+                                 time.perf_counter() - t_re)
+            dsp_ms = min(dsp_ms, dsp_re)
         audio_bytes = audio_payloads[0][0].nbytes + 4
         log(f"host DSP: {dsp_ms:.0f} ms/piece ({secs}s audio)")
     elif mulaw:
