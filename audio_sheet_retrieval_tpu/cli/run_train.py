@@ -150,6 +150,18 @@ def main(argv=None):
         exp_name=model_cfg.name,
         resume_file=state_file,
     )
+    # the fit-state snapshot is IN-FLIGHT state only: a CLI run that
+    # returned normally (epoch budget exhausted or early stop) must not
+    # leave one behind, or a later --resume would restore the finished
+    # bookkeeping and train ZERO further epochs — the reference's
+    # --resume on a finished run reloads params and trains a fresh
+    # schedule (reference run_train.py:96-101), which the params-only
+    # fallback above then provides. A killed process never reaches this
+    # line and keeps its snapshot for exact continuation (engine.fit
+    # restores it bit-identically; tests/test_train.py,
+    # tests/test_multiprocess.py).
+    if jax.process_index() == 0 and os.path.exists(state_file):
+        os.remove(state_file)
     print("Best validation MAP: %.2f" % (100 * best_map))
     return best_params, best_map
 

@@ -134,21 +134,27 @@ def prepare_piece_data_msmd(collection_dir: str, piece_name: str,
                 raise ValueError("empty alignment")
             note_events = performance.load_note_events()
             spec = _performance_spectrogram(performance)
+            pairs = []
+            for m_objid, e_idx in alignment:
+                # a corrupt alignment can reference e_idx out of range of
+                # note_events — that is the same broken-performance class
+                # as an empty alignment, so it must stay inside this
+                # skip guard rather than dropping the whole piece
+                onset_frame = notes_to_onsets([note_events[e_idx]],
+                                              dt=1.0 / FPS)
+                # notes_to_onsets returns an array of unique onset frames;
+                # a single event yields one entry (numpy>=2 forbids
+                # int(array))
+                pairs.append((m_objid, int(np.atleast_1d(onset_frame)[0])))
+            o2c = pools.onset_to_coordinates(pairs, un_wrapped_coords)
         except Exception:
             # skip the broken performance, keep the piece (see docstring)
             print("Problems with performance %s of %s"
                   % (performance_key, piece_name))
             print(sys.exc_info()[0])
             continue
-        pairs = []
-        for m_objid, e_idx in alignment:
-            onset_frame = notes_to_onsets([note_events[e_idx]], dt=1.0 / FPS)
-            # notes_to_onsets returns an array of unique onset frames; a
-            # single event yields one entry (numpy>=2 forbids int(array))
-            pairs.append((m_objid, int(np.atleast_1d(onset_frame)[0])))
         spectrograms.append(spec)
-        o2c_maps.append(
-            pools.onset_to_coordinates(pairs, un_wrapped_coords))
+        o2c_maps.append(o2c)
 
     return un_wrapped_image, spectrograms, o2c_maps
 

@@ -100,6 +100,12 @@ def unet_apply(params: Dict[str, Any], x: jnp.ndarray,
     bias-add and sigmoid stay f32. Gated on detection equality
     (tests/test_omr.py, scripts/omr_probe.py)."""
     precision = _PRECISIONS[conv_precision]
+    if compute_dtype not in ("bfloat16", "float32"):
+        # fail fast like conv_precision's _PRECISIONS lookup — a silent
+        # f32 fallback on a typo ('bf16') would ship f32 latency/accuracy
+        # numbers labelled as the bf16 arm
+        raise ValueError(f"compute_dtype must be 'bfloat16' or 'float32', "
+                         f"got {compute_dtype!r}")
     dtype = (jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32)
     h = x
     skips = []

@@ -241,7 +241,13 @@ def build_sharded_sheet_gallery(mesh: Mesh, params, cfg,
     n_win = len(starts)
     valid = np.zeros((p_pad, n_win), np.float32)
     for i, s in enumerate(strips):
-        v_off = (h - s.shape[0]) // 2
+        # align the GLOBAL center crop (r0 = h//2 - crop//2 inside
+        # _strip_embed_core) with the piece's own center crop
+        # (s_h//2 - crop//2): padded row r0 - v_off must equal the piece
+        # row for ANY height parity, so v_off = h//2 - s_h//2 — the
+        # naive (h - s_h)//2 is one row off when exactly one of h, s_h
+        # is odd, silently breaking single-chip embedding parity
+        v_off = h // 2 - s.shape[0] // 2
         stack[i, v_off:v_off + s.shape[0], :s.shape[1]] = s
         valid[i, :len(win.stride_starts(s.shape[1], sheet_w, stride))] = 1.0
 

@@ -42,6 +42,11 @@ class StreamingRetriever:
         self.window_len = ctx
 
         g = np.asarray(gallery_codes, np.float32)
+        if not np.isfinite(g).all():
+            # both top-k arms would degrade DIFFERENTLY on NaN gallery
+            # rows (the XLA arm -inf's them, the Pallas kernel's max-merge
+            # poisons); a non-finite gallery is broken upstream — reject
+            raise ValueError("gallery_codes contain non-finite values")
         g = g / np.maximum(np.linalg.norm(g, axis=1, keepdims=True), 1e-12)
         self._gal = jax.device_put(g)
         self._ids = jax.device_put(
@@ -67,11 +72,17 @@ class StreamingRetriever:
                     topk_gallery,
                 )
 
-                # NaN defense lives inside the kernel's running merge
-                # (padding rows never beat real rows)
+                # NaN-code defense with the SAME semantics as the XLA
+                # arm: there a NaN code makes every score NaN -> -inf and
+                # lax.top_k returns the first n_cand indices, so mirror
+                # that deterministic fallback here (zeroing only the NaN
+                # dims would rank by the remaining dims and the two arms
+                # would return different candidates)
+                bad = jnp.isnan(code).any()
                 _, idx = topk_gallery(
                     jnp.where(jnp.isnan(code), 0.0, code), gal, n_cand)
-                idx = idx[0]
+                idx = jnp.where(bad, jnp.arange(n_cand, dtype=idx.dtype),
+                                idx[0])
             else:
                 scores = jnp.dot(code, gal.T,
                                  preferred_element_type=jnp.float32)[0]

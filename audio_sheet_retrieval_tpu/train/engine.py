@@ -305,7 +305,25 @@ def fit(
     say("Running Test Case: " + exp_name, BColors.UNDERLINE)
 
     snap = None
-    if resume_file is not None and os.path.exists(resume_file):
+    do_resume = resume_file is not None and os.path.exists(resume_file)
+    if jax.process_count() > 1:
+        # the resume decision must be COLLECTIVE: process 0 decides and
+        # broadcasts. Deciding from local file state races run_train's
+        # stale-snapshot removal (process 0's os.remove vs another
+        # process's exists-check) and diverges outright on per-host
+        # filesystems where only the writer host has the snapshot —
+        # either way processes disagree on whether pretrain runs and the
+        # SPMD program desyncs (collective mismatch).
+        from jax.experimental import multihost_utils
+
+        do_resume = bool(multihost_utils.broadcast_one_to_all(
+            np.int32(1 if do_resume else 0)))
+        if do_resume and not os.path.exists(resume_file):
+            raise RuntimeError(
+                f"process {jax.process_index()} cannot see resume "
+                f"snapshot {resume_file}; multi-host resume requires the "
+                "snapshot on a filesystem shared by all hosts")
+    if do_resume:
         with open(resume_file, "rb") as fp:
             snap = pickle.load(fp)
         assert snap.get("fit_state_version") == _FIT_STATE_VERSION, (

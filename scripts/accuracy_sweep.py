@@ -107,7 +107,7 @@ def main(argv=None):
                         params, cfg, images, te_specs,
                         queries_per_piece=qpp, excerpts_per_query=epq,
                         quantize=qbits, gallery=gallery)
-                    m = acc.pop("margins")
+                    m = np.asarray(acc.pop("margins"))
                     errors = int((m <= 0).sum())
                     cell = {
                         "rank1": acc["rank1"], "rank5": acc["rank5"],

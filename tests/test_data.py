@@ -173,7 +173,7 @@ def test_piece_id_accuracy_margins_consistent():
                             coords=[oc[0][:, 1] for oc in o2cs],
                             queries_per_piece=1, excerpts_per_query=8,
                             quantize=16)
-    m = acc["margins"]
+    m = np.asarray(acc["margins"])  # plain list in the dict (json-able)
     assert len(m) == acc["n"] == 6
     # a strictly positive margin IS a rank-1 hit under the pessimistic
     # tie rule; margin 0 is a tie and counts as rank>=2

@@ -254,7 +254,10 @@ def test_sharded_gallery_build_mixed_width_matches_single_chip(mesh8):
         U=jnp.eye(cfg.dim_latent), V=jnp.eye(cfg.dim_latent)))
     rng = np.random.default_rng(13)
     widths = [1400, 700, 1100, 450, 900]
-    heights = [200, 160, 200, 180, 160]
+    # odd heights included: v_off must be h//2 - s_h//2, not
+    # (h - s_h)//2, for the global center crop to land on the same rows
+    # as the per-piece crop when the parities differ
+    heights = [200, 161, 200, 175, 160]
     strips = []
     for w_i, h_i in zip(widths, heights):
         s = np.full((h_i, w_i), 255, np.uint8)
