@@ -1,0 +1,274 @@
+"""Interleaved-stream rANS entropy coding with an XLA-parallel device decode.
+
+Round-4's wire-floor analysis (scripts/wire_floor.py) measured the shipped
+two-level bitmap-RLE sheet coding at 0.109 B/px against a 0.069 B/px
+byte-entropy bound of its own payload, and the round-2/3 analyses closed
+the gap as unreachable because "arithmetic/deflate-class decoders have no
+parallel XLA decode". That verdict was wrong for ONE member of the class:
+range ANS with S interleaved streams. Each stream is a self-contained rANS
+decoder, but S of them decode in lockstep — one symbol per stream per
+step — so the decode is a `lax.scan` of ceil(n/S) steps over [S]-lane
+vectors. No sequential bottleneck crosses lanes; the per-lane serial chain
+is the scan itself.
+
+The layout is the single-bitstream interleaving of Giesen's ryg_rans
+(https://github.com/rygorous/ryg_rans, public domain): lanes share ONE
+word stream, and because a step consumes at most one 16-bit word per lane
+(L = 2^16 state lower bound, 16-bit renormalization, 12-bit frequency
+precision), the decoder can compute each lane's word index as
+base + exclusive-cumsum(consume-flags) — the encoder emits words in
+exactly that (step-ascending, lane-ascending) order by processing symbols
+in reverse. No per-stream buffers, offsets or padding; the only per-stream
+overhead is the S final states (4 B each) shipped as the stream header.
+
+TPU cost model (measured, RESULTS.md round 4): XLA gathers run at a flat
+~7 ns/element on v5e regardless of table size, and every op inside a scan
+body carries a fixed dispatch overhead — so the decoder is built to
+minimize BOTH gathered elements per symbol and scan steps:
+
+  * the three per-slot lookups (symbol, frequency, cumulative base) are
+    packed into ONE uint32 table entry (sym<<24 | freq<<12 | cum, all
+    fields <= 12 bits by construction) -> one gather per symbol instead
+    of three;
+  * decodes batch across the corpus: `rans_decode_batch_device` decodes P
+    payloads in one scan over [P, S] lanes (per-piece word cumsum is an
+    axis-1 cumsum), so the per-step dispatch overhead is paid once per
+    corpus, not once per piece.
+
+Used as a second wire stage over the bitmap-RLE sheet payloads
+(ops/windows): the byte-level order-0 entropy of those payloads is
+~0.069 B/px on the bench engraving, and this coder lands within ~2% of it
+(plus 0.5 kB tables + 4 B/lane states per strip), cutting sheet wire ~32%
+below the previously declared floor — with the decoded bytes feeding the
+existing (unchanged, bit-exact) rle2 pixel decode. The decode cost makes
+it a bandwidth-starved-link recipe: it wins when link MB/s is below the
+crossover the bench measures (see bench.py ASR_BENCH_SHEET=rans).
+
+No reference analog (CPJKU/audio_sheet_retrieval ships raw uint8 pixels);
+this is a TPU-native transport optimization.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PROB_BITS = 12                 # frequency precision: tables sum to 4096
+PROB_SCALE = 1 << PROB_BITS
+RANS_L = 1 << 16               # state lower bound; 16-bit renormalization
+N_STREAMS = 2048               # default (and maximum) interleaved lanes
+
+
+def quantize_freqs(counts: np.ndarray, total: int = PROB_SCALE
+                   ) -> np.ndarray:
+    """[256] symbol counts -> [256] uint16 quantized frequencies summing to
+    ``total``, every observed symbol >= 1 and every frequency <= total-1
+    (so it fits the packed table's 12-bit field). Unobserved symbols get 0
+    and can never be encoded — the encoder only codes bytes it counted.
+    A constant input (one observed symbol) donates one slot to a phantom
+    neighbor symbol the encoder never emits."""
+    counts = np.asarray(counts, np.int64)
+    obs = np.nonzero(counts)[0]
+    if obs.size == 0:
+        raise ValueError("empty symbol distribution")
+    out = np.zeros(256, np.uint16)
+    if obs.size == 1:
+        out[obs[0]] = total - 1
+        out[(obs[0] + 1) % 256] = 1
+        return out
+    c = counts[obs].astype(np.float64)
+    ideal = c / c.sum() * total
+    f = np.maximum(1, np.floor(ideal)).astype(np.int64)
+    diff = int(total - f.sum())
+    if diff > 0:
+        # floor loses < 1 per symbol -> diff < n_obs; give the spare slots
+        # to the largest fractional remainders
+        order = np.argsort(-(ideal - f))
+        f[order[:diff]] += 1
+    else:
+        # the >=1 floor can overshoot by at most n_obs; shave the largest
+        # entries (cheapest in code length)
+        for _ in range(-diff):
+            i = int(np.argmax(np.where(f > 1, f, -1)))
+            f[i] -= 1
+    out[obs] = f.astype(np.uint16)
+    return out
+
+
+def auto_streams(n: int) -> int:
+    """Lane count for an n-byte payload: target ~100 scan steps, power of
+    two, clamped to [256, N_STREAMS]. The 4 B/lane state header is the
+    coder's only fixed overhead, so small components (the 50 kB level-2
+    bitmap) take fewer lanes than large ones (the 190 kB run colors)."""
+    s = 1 << max(8, int(np.ceil(np.log2(max(1, n / 100)))))
+    return int(min(s, N_STREAMS))
+
+
+def rans_encode(data: np.ndarray, n_streams: int = N_STREAMS):
+    """Encode a uint8 array with S-lane interleaved rANS.
+
+    Returns (freqs uint16[256], states uint32[S], words uint16[W]) — the
+    complete wire payload; the symbol count n = data.size is carried by the
+    caller (it is a static shape in every consumer).
+
+    Vectorized over lanes: the Python loop runs ceil(n/S) steps (~100 for a
+    20k-px strip's largest component), each a handful of numpy ops on [S]
+    vectors — ~5 ms/strip host encode, counted in the bench's client-encode
+    figure.
+    """
+    data = np.asarray(data, np.uint8).ravel()
+    n = data.size
+    if n == 0:
+        raise ValueError("empty input")
+    S = int(n_streams)
+    freqs = quantize_freqs(np.bincount(data, minlength=256))
+    cum = np.zeros(256, np.uint64)
+    cum[1:] = np.cumsum(freqs.astype(np.uint64))[:-1]
+    f_of = freqs.astype(np.uint64)
+    pad_sym = int(np.argmax(freqs))
+
+    K = (n + S - 1) // S
+    lanes = np.full(K * S, pad_sym, np.uint8)
+    lanes[:n] = data
+    lanes = lanes.reshape(K, S)
+
+    x = np.full(S, RANS_L, np.uint64)
+    blocks = []  # word blocks, collected in reverse step order
+    for t in range(K - 1, -1, -1):
+        sym = lanes[t].astype(np.int64)
+        f = f_of[sym]
+        need = x >= (f << 20)  # emit at most one u16 per lane per step
+        if need.any():
+            blocks.append((x[need] & np.uint64(0xFFFF)).astype(np.uint16))
+            x = np.where(need, x >> np.uint64(16), x)
+        x = ((x // f) << np.uint64(PROB_BITS)) + cum[sym] + (x % f)
+    blocks.reverse()  # decoder reads step-ascending, lane-ascending
+    words = (np.concatenate(blocks) if blocks
+             else np.zeros(0, np.uint16))
+    return freqs, x.astype(np.uint32), words
+
+
+def rans_encode_batch(arrays, n_streams: int | None = None):
+    """Encode P equal-length uint8 arrays (a corpus component stack) ->
+    (freqs uint16[P, 256], states uint32[P, S], words uint16[P, Wmax],
+    n_words int64[P]) for `rans_decode_batch_device`. Word rows are
+    zero-padded to the max (``n_words`` carries each row's real count for
+    wire accounting); padding is never read (consumption is driven by the
+    states)."""
+    arrays = [np.asarray(a, np.uint8).ravel() for a in arrays]
+    n = arrays[0].size
+    if any(a.size != n for a in arrays):
+        raise ValueError("batch components must share one length")
+    S = auto_streams(n) if n_streams is None else int(n_streams)
+    outs = [rans_encode(a, S) for a in arrays]
+    wmax = max(o[2].size for o in outs)
+    freqs = np.stack([o[0] for o in outs])
+    states = np.stack([o[1] for o in outs])
+    words = np.stack([np.pad(o[2], (0, wmax - o[2].size)) for o in outs])
+    n_words = np.asarray([o[2].size for o in outs], np.int64)
+    return freqs, states, words, n_words
+
+
+def rans_decode_host(freqs: np.ndarray, states: np.ndarray,
+                     words: np.ndarray, n: int) -> np.ndarray:
+    """Pure-numpy reference decoder (mirrors the device scan; for tests)."""
+    freqs = np.asarray(freqs, np.uint32)
+    cum = np.zeros(256, np.uint32)
+    cum[1:] = np.cumsum(freqs)[:-1]
+    ends = np.cumsum(freqs)
+    sym_of_slot = np.searchsorted(ends, np.arange(PROB_SCALE),
+                                  side="right").astype(np.int64)
+    S = states.size
+    K = (n + S - 1) // S
+    if words.size == 0:  # fully in-state payload (e.g. constant input)
+        words = np.zeros(1, np.uint16)
+    x = states.astype(np.uint64)
+    base = 0
+    out = np.empty((K, S), np.uint8)
+    for t in range(K):
+        slot = (x & np.uint64(PROB_SCALE - 1)).astype(np.int64)
+        sym = sym_of_slot[slot]
+        out[t] = sym
+        x = freqs[sym] * (x >> np.uint64(PROB_BITS)) \
+            + slot.astype(np.uint64) - cum[sym]
+        consume = x < RANS_L
+        idx = np.clip(base + np.cumsum(consume) - 1, 0, len(words) - 1)
+        w = words[idx].astype(np.uint64)
+        x = np.where(consume, (x << np.uint64(16)) | w, x)
+        base += int(consume.sum())
+    return out.reshape(-1)[:n]
+
+
+def _packed_slot_tables(freqs: jnp.ndarray) -> jnp.ndarray:
+    """[P, 256] wire frequency tables -> [P, 4096] packed per-slot uint32
+    entries (sym<<24 | freq<<12 | cum_base), built on device once per
+    decode (a [4096]-query searchsorted over 256 entries — negligible next
+    to the scan). One packed entry = ONE gather per decoded symbol."""
+    f32u = freqs.astype(jnp.uint32)
+    ends = jnp.cumsum(f32u, axis=1)
+    cum = ends - f32u
+    slots = jnp.arange(PROB_SCALE, dtype=jnp.uint32)
+    sym_slot = jax.vmap(
+        lambda e: jnp.searchsorted(e, slots, side="right"))(ends)
+    sym_slot = sym_slot.astype(jnp.int32)
+    f_slot = jnp.take_along_axis(f32u, sym_slot, axis=1)
+    c_slot = jnp.take_along_axis(cum, sym_slot, axis=1)
+    return ((sym_slot.astype(jnp.uint32) << 24)
+            | (f_slot << PROB_BITS) | c_slot)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "k"))
+def _decode_batch_jit(freqs: jnp.ndarray, states: jnp.ndarray,
+                      words: jnp.ndarray, n: int, k: int) -> jnp.ndarray:
+    P, S = states.shape
+    packed = _packed_slot_tables(freqs).reshape(-1)      # [P*4096]
+    row = (jnp.arange(P, dtype=jnp.uint32) * PROB_SCALE)[:, None]
+    wmax = words.shape[1]
+    wf = words.reshape(-1)                                # [P*Wmax]
+    base0 = jnp.arange(P, dtype=jnp.int32) * wmax
+
+    def step(carry, _):
+        x, base = carry                                   # [P,S], [P]
+        slot = x & jnp.uint32(PROB_SCALE - 1)
+        e = packed[(row + slot).astype(jnp.int32)]        # ONE gather
+        f = (e >> PROB_BITS) & jnp.uint32(PROB_SCALE - 1)
+        c = e & jnp.uint32(PROB_SCALE - 1)
+        # f*(x>>12) < 2^12 * 2^20 = 2^32: exact in uint32
+        x = f * (x >> PROB_BITS) + slot - c
+        consume = x < jnp.uint32(RANS_L)
+        offs = jnp.cumsum(consume.astype(jnp.int32), axis=1) - 1
+        # explicit clip: a leading non-consuming lane indexes base-1, and
+        # dynamic negative gather indices are not python-wrapped; the
+        # gathered word is discarded by the where
+        idx = jnp.clip(base[:, None] + offs, 0, wf.shape[0] - 1)
+        w = wf[idx].astype(jnp.uint32)
+        x = jnp.where(consume, (x << 16) | w, x)
+        base = base + offs[:, -1] + 1
+        return (x, base), (e >> 24).astype(jnp.uint8)
+
+    (_, _), out = jax.lax.scan(step, (states, base0), None, length=k)
+    # out [K, P, S]: symbol i of payload p lived in lane i % S at step i//S
+    return jnp.transpose(out, (1, 0, 2)).reshape(P, k * S)[:, :n]
+
+
+def rans_decode_batch_device(freqs: jnp.ndarray, states: jnp.ndarray,
+                             words: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Decode P payloads -> uint8[P, n] in ONE `lax.scan` of ceil(n/S)
+    steps over [P, S] lanes. ``n`` is static (component lengths are fixed
+    shapes in every consumer); word rows may carry arbitrary padding."""
+    S = states.shape[1]
+    k = (n + S - 1) // S
+    if words.shape[1] == 0:  # fully in-state payloads (constant inputs)
+        words = jnp.zeros((states.shape[0], 1), jnp.uint16)
+    return _decode_batch_jit(freqs, states, words, n, k)
+
+
+def rans_decode_device(freqs: jnp.ndarray, states: jnp.ndarray,
+                       words: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Single-payload decode -> uint8[n] (P=1 batch; prefer the batched
+    form — the scan's per-step dispatch overhead amortizes over P)."""
+    return rans_decode_batch_device(freqs[None], states[None], words[None],
+                                    n)[0]

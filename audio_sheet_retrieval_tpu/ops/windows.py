@@ -484,6 +484,77 @@ def make_audio_embedder_mulaw_batched(params, cfg, processor):
     return embed
 
 
+def rans_encode_corpus_strips(strips, pad_to: int = RLE_PAD_RUNS):
+    """Entropy-coded corpus sheet wire: two-level bitmap-RLE components
+    (rle_bitmap2_encode_strip) compressed by interleaved-stream rANS
+    (ops/rans.py) — ~0.074 B/px on the bench engraving vs rle2's 0.109,
+    still bit-exactly lossless.
+
+    All strips must share one [H, W] shape (pad first; the bench and the
+    device DB build already bucket). The three component stacks (level-2
+    bitmap, level-2 values, run colors) are padded to corpus-max lengths
+    and rANS-coded per piece with per-component adaptive tables.
+
+    Returns (payload, lens, piece_bytes):
+      payload: 3 per-component (freqs [P,256] u16, states [P,S] u32,
+               words [P,Wmax] u16) triples,
+      lens: the 3 component lengths (static decode shapes),
+      piece_bytes: honest per-piece wire bytes (actual words, not the
+               stack padding).
+
+    Decode = make_corpus_rans_decoder(lens) -> the component stacks, fed
+    unchanged into make_strip_embedder_rle_bitmap2_batched. The decode
+    runs ONE scan per component over [P, S] lanes (~7 ms for a 24-piece
+    corpus of 20k-px strips) — a bandwidth-starved-link recipe: it wins
+    end-to-end when the link is slower than the measured crossover
+    (bench.py reports both arms; RESULTS.md round 4).
+    """
+    from audio_sheet_retrieval_tpu.ops import rans
+
+    shapes = {s.shape for s in strips}
+    if len(shapes) != 1:
+        raise ValueError(f"strips must share one shape, got {shapes}")
+    encs = [rle_bitmap2_encode_strip(s, pad_to) for s in strips]
+    lens = (encs[0][0].size,
+            max(e[1].size for e in encs),
+            max(e[2].size for e in encs))
+    stacks = (
+        [e[0] for e in encs],
+        [np.pad(e[1], (0, lens[1] - e[1].size)) for e in encs],
+        [np.pad(e[2], (0, lens[2] - e[2].size)) for e in encs],
+    )
+    enc = [rans.rans_encode_batch(c) for c in stacks]
+    payload = tuple(e[:3] for e in enc)
+    piece_bytes = [
+        int(sum(enc[k][0].shape[1] * 2 + enc[k][1].shape[1] * 4
+                + enc[k][3][p] * 2 for k in range(3)))
+        for p in range(len(strips))]
+    return payload, lens, piece_bytes
+
+
+def make_corpus_rans_decoder(lens):
+    """One-dispatch device decode of rans_encode_corpus_strips payloads ->
+    (bm2_all, vals2_all, values_all) uint8 [P, n] stacks (the exact inputs
+    of make_strip_embedder_rle_bitmap2_batched)."""
+    from audio_sheet_retrieval_tpu.ops import rans
+
+    n0, n1, n2 = (int(x) for x in lens)
+
+    @jax.jit
+    def decode(f0, s0, w0, f1, s1, w1, f2, s2, w2):
+        return (rans.rans_decode_batch_device(f0, s0, w0, n0),
+                rans.rans_decode_batch_device(f1, s1, w1, n1),
+                rans.rans_decode_batch_device(f2, s2, w2, n2))
+
+    def run(payload):
+        (f0, s0, w0), (f1, s1, w1), (f2, s2, w2) = payload
+        return decode(jnp.asarray(f0), jnp.asarray(s0), jnp.asarray(w0),
+                      jnp.asarray(f1), jnp.asarray(s1), jnp.asarray(w1),
+                      jnp.asarray(f2), jnp.asarray(s2), jnp.asarray(w2))
+
+    return run
+
+
 def rle_bitmap_encode_padded(strip_u8: np.ndarray, width_bucket: int = 4096):
     """Pad a strip (white) to a width-bucket multiple and bitmap-RLE encode
     it: -> (bitmap, values, (h, w_padded)). One compile per (h, bucketed

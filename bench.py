@@ -27,8 +27,15 @@ Env knobs:
   ASR_BENCH_PIECES  number of benchmark pieces (default 24)
   ASR_BENCH_SECS    audio seconds per piece (default 60)
   ASR_BENCH_WIDTH   strip width px per piece (default 20000)
-  ASR_BENCH_SHEET   rle2 (default): LOSSLESS two-level bitmap run-length
-                    sheet upload (the level-1 start bitmap is itself
+  ASR_BENCH_SHEET   rans (default): the rle2 payload entropy-coded by
+                    interleaved-stream rANS (ops/rans.py), LOSSLESS
+                    ~0.074 B/px, corpus-batched one-scan device decode.
+                    Measured back-to-back vs rle2 on the bench tunnel
+                    (round 4): 9,890 vs 8,729 emb/s end-to-end, 1,474 vs
+                    1,114 emb/MB — the decode amortizes to ~0.3 ms/piece,
+                    so it wins at any link speed where wire matters |
+                    rle2: LOSSLESS two-level bitmap run-length sheet
+                    upload (the level-1 start bitmap is itself
                     bitmap-RLE'd) — bit-identical embeddings at ~0.11 B/px
                     on real engraving, decode = two cumsum+gather passes |
                     rle: single-level, ~0.17-0.23 B/px | rlepairs:
@@ -145,18 +152,24 @@ def main():
     spec_w = cfg.input_shape_2[2]
 
     strip_h = 160  # serving strip height (= SYSTEM_HEIGHT; see below)
-    # sheet upload coding: rle (lossless, default) | pack4 (lossy 4-bit) |
-    # raw. ASR_BENCH_PACK4=0 is honored for backwards compat (-> raw).
-    sheet_mode = os.environ.get("ASR_BENCH_SHEET", "rle2")
+    # sheet upload coding: rans (lossless entropy-coded rle2, default) |
+    # rle2/rle/rlepairs (lossless) | pack4 (lossy 4-bit) | raw.
+    # ASR_BENCH_PACK4=0 is honored for backwards compat (-> raw).
+    sheet_mode = os.environ.get("ASR_BENCH_SHEET", "rans")
     if os.environ.get("ASR_BENCH_PACK4") == "0" and "ASR_BENCH_SHEET" \
             not in os.environ:
         sheet_mode = "raw"
-    if sheet_mode not in ("rle2", "rle", "rlepairs", "pack4", "raw"):
+    if sheet_mode not in ("rans", "rle2", "rle", "rlepairs", "pack4",
+                          "raw"):
         raise SystemExit(
             f"unknown ASR_BENCH_SHEET={sheet_mode!r} "
-            "(expected rle2 | rle | rlepairs | pack4 | raw)")
+            "(expected rans | rle2 | rle | rlepairs | pack4 | raw)")
     pack4 = sheet_mode == "pack4"
-    if sheet_mode == "pack4":
+    if sheet_mode == "rans":
+        # corpus-batched coding: the interleaved-rANS decode amortizes its
+        # scan over all pieces, so there is no single-strip upload path
+        embed_strip = None
+    elif sheet_mode == "pack4":
         embed_strip = win.make_strip_embedder_packed(params, cfg,
                                                      center_crop=160)
     elif sheet_mode == "rle2":
@@ -217,7 +230,15 @@ def main():
             np.roll(tiled, int(rng.integers(0, width)), axis=1)))
     assert raw_strips[0].shape[0] == strip_h
     t_sheet_enc = time.perf_counter()  # client-side encode cost (see below)
-    if sheet_mode == "pack4":
+    rans_payload = rans_lens = rans_decode = None
+    if sheet_mode == "rans":
+        # rANS-entropy-coded rle2 components (~0.074 vs 0.109 B/px,
+        # lossless; device decode ~7 ms for the whole corpus — the
+        # bandwidth-starved-link recipe, see ops/rans.py)
+        rans_payload, rans_lens, sheet_bytes = \
+            win.rans_encode_corpus_strips(raw_strips)
+        strips = None
+    elif sheet_mode == "pack4":
         strips = [win.pack_strip_4bit(s_) for s_ in raw_strips]
         sheet_bytes = [s_.nbytes for s_ in strips]
     elif sheet_mode == "rle2":
@@ -265,6 +286,12 @@ def main():
             t_re = time.perf_counter()
             for s_ in raw_strips:
                 sheet_enc_fn(s_)
+            sheet_encode_s = min(sheet_encode_s,
+                                 time.perf_counter() - t_re)
+    elif sheet_mode == "rans":
+        for _ in range(2):
+            t_re = time.perf_counter()
+            win.rans_encode_corpus_strips(raw_strips)
             sheet_encode_s = min(sheet_encode_s,
                                  time.perf_counter() - t_re)
     audios = [(rng.standard_normal(n_samples) * 3000).astype(np.int16)
@@ -317,10 +344,18 @@ def main():
     # (measured: 3.5 MB/s effective from ~1 MB transfers vs ~30 MB/s raw
     # link). Each piece is still embedded by its own dispatch.
     batch_upload = (os.environ.get("ASR_BENCH_BATCH_UPLOAD", "1") == "1"
-                    and sheet_mode in ("rle", "rle2")
+                    and sheet_mode in ("rle", "rle2", "rans")
                     and (mulaw or spec_upload))
+    if sheet_mode == "rans" and not batch_upload:
+        raise SystemExit("ASR_BENCH_SHEET=rans is a corpus-batched coding; "
+                         "it requires batched uploads and a spec/mulaw "
+                         "audio mode")
     if batch_upload:
-        if sheet_mode == "rle2":
+        if sheet_mode == "rans":
+            rans_decode = win.make_corpus_rans_decoder(rans_lens)
+            embed_strip_b = win.make_strip_embedder_rle_bitmap2_batched(
+                params, cfg, (strip_h, width), center_crop=160)
+        elif sheet_mode == "rle2":
             bm2_all = np.stack([b for b, _, _ in strips])
             v2_all = np.stack([v for _, v, _ in strips])
             v1_all = np.stack([v for _, _, v in strips])
@@ -367,7 +402,10 @@ def main():
 
     # warmup / compile
     if batch_upload:
-        if sheet_mode == "rle2":
+        if sheet_mode == "rans":
+            r1 = embed_strip_b(*rans_decode(rans_payload), 0,
+                               sheet_starts_d)
+        elif sheet_mode == "rle2":
             r1 = embed_strip_b(jnp.asarray(bm2_all), jnp.asarray(v2_all),
                                jnp.asarray(v1_all), 0, sheet_starts_d)
         else:
@@ -394,7 +432,11 @@ def main():
         t0 = time.perf_counter()
         outs = []
         if batch_upload:
-            if sheet_mode == "rle2":
+            if sheet_mode == "rans":
+                # upload the 9 coded arrays + ONE corpus decode dispatch;
+                # the decoded component stacks never leave the device
+                sheet_payload = rans_decode(rans_payload)
+            elif sheet_mode == "rle2":
                 sheet_payload = tuple(jax.device_put(a) for a in
                                       (bm2_all, v2_all, v1_all))
             else:
@@ -680,7 +722,8 @@ def main():
                                          if train_ups_bf16 else None),
             "dtype": dtype,
             "conv_precision": precision,
-            "sheet_upload": {"rle2": "rle-bitmap2-lossless",
+            "sheet_upload": {"rans": "rans-rle2-lossless",
+                             "rle2": "rle-bitmap2-lossless",
                              "rle": "rle-bitmap-lossless",
                              "rlepairs": "rle-pairs-lossless",
                              "pack4": "4bit-packed"}.get(sheet_mode, "uint8"),

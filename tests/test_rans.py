@@ -1,0 +1,161 @@
+"""Interleaved-stream rANS wire coding: lossless roundtrips, batch decode,
+and bit-identical embeddings through the corpus sheet pipeline.
+
+The coder (ops/rans.py) is a TPU-native transport stage with no reference
+analog (CPJKU/audio_sheet_retrieval uploads raw uint8 pixels); these tests
+pin the host encoder against BOTH decoders (numpy reference + XLA scan)
+and the full corpus path against the uncoded rle2 embedder.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audio_sheet_retrieval_tpu.ops import rans, windows
+
+
+def _skewed_bytes(rng, n):
+    # exponential byte histogram like the RLE payloads the coder ships
+    return (rng.exponential(15, n) % 256).astype(np.uint8)
+
+
+def test_quantize_freqs_invariants():
+    rng = np.random.default_rng(0)
+    for counts in (
+        np.bincount(_skewed_bytes(rng, 10000), minlength=256),
+        np.bincount(np.asarray([3, 3, 3, 7], np.uint8), minlength=256),
+        np.bincount(np.zeros(50, np.uint8), minlength=256),  # constant
+        np.ones(256, np.int64),  # uniform: >=1 floor exactly fills 4096?
+        np.concatenate([np.ones(200, np.int64), np.asarray([10**9]),
+                        np.zeros(55, np.int64)]),  # overshoot-shave path
+    ):
+        f = rans.quantize_freqs(counts)
+        assert int(f.sum()) == rans.PROB_SCALE
+        assert (f[np.asarray(counts) > 0] >= 1).all()
+        assert int(f.max()) <= rans.PROB_SCALE - 1
+    with pytest.raises(ValueError):
+        rans.quantize_freqs(np.zeros(256, np.int64))
+
+
+@pytest.mark.parametrize("n,streams", [
+    (50_000, 512),   # many steps
+    (50_000, 2048),  # max lanes
+    (777, 256),      # n not a multiple of S, tail padding
+    (100, 256),      # n < S: single scan step
+    (1, 256),        # single symbol
+])
+def test_rans_roundtrip_host_and_device(n, streams):
+    rng = np.random.default_rng(n + streams)
+    data = _skewed_bytes(rng, n)
+    freqs, states, words = rans.rans_encode(data, streams)
+    assert states.shape == (streams,)
+    np.testing.assert_array_equal(
+        rans.rans_decode_host(freqs, states, words, n), data)
+    got = rans.rans_decode_device(jnp.asarray(freqs), jnp.asarray(states),
+                                  jnp.asarray(words), n)
+    np.testing.assert_array_equal(np.asarray(got), data)
+
+
+def test_rans_constant_input_roundtrip():
+    # one observed symbol -> phantom-neighbor table, often zero words
+    c = np.full(3000, 9, np.uint8)
+    freqs, states, words = rans.rans_encode(c, 256)
+    np.testing.assert_array_equal(
+        rans.rans_decode_host(freqs, states, words, c.size), c)
+    got = rans.rans_decode_device(jnp.asarray(freqs), jnp.asarray(states),
+                                  jnp.asarray(words), c.size)
+    np.testing.assert_array_equal(np.asarray(got), c)
+
+
+def test_rans_compression_beats_raw_on_skewed_bytes():
+    rng = np.random.default_rng(7)
+    data = _skewed_bytes(rng, 200_000)
+    S = rans.auto_streams(data.size)
+    freqs, states, words = rans.rans_encode(data, S)
+    wire = words.size * 2 + states.size * 4 + 256 * 2
+    # iid entropy of this distribution is ~5.3 bits/byte; the coder must
+    # land well under raw and within ~5% of the entropy bound
+    counts = np.bincount(data, minlength=256)
+    p = counts[counts > 0] / data.size
+    h_bits = float(-(p * np.log2(p)).sum())
+    assert wire < data.size
+    assert wire * 8 <= h_bits * data.size * 1.05 + states.size * 32
+
+
+def test_rans_batch_decode_matches_per_payload():
+    rng = np.random.default_rng(11)
+    n = 9_000
+    arrays = [_skewed_bytes(rng, n) for _ in range(5)]
+    arrays.append(np.full(n, 200, np.uint8))  # a constant row in the batch
+    freqs, states, words, n_words = rans.rans_encode_batch(arrays)
+    assert (n_words <= words.shape[1]).all()
+    got = np.asarray(rans.rans_decode_batch_device(
+        jnp.asarray(freqs), jnp.asarray(states), jnp.asarray(words), n))
+    for i, a in enumerate(arrays):
+        np.testing.assert_array_equal(got[i], a)
+        # per-row word counts are the honest wire accounting: bytes beyond
+        # n_words are stack padding and must be exactly zero
+        assert (words[i, int(n_words[i]):] == 0).all()
+
+
+def _engraving_like_strips(rng, n_pieces, h, w):
+    # bilevel-ish staff-line content: long white runs + short black runs,
+    # different per piece (the corpus coder must not share tables)
+    strips = []
+    for _ in range(n_pieces):
+        s = np.full((h, w), 255, np.uint8)
+        for y in range(10, h, 17):
+            s[y, :] = 0
+        n_blobs = int(rng.integers(40, 80))
+        xs = rng.integers(0, w - 6, n_blobs)
+        ys = rng.integers(0, h - 6, n_blobs)
+        for x, y in zip(xs, ys):
+            s[y:y + 5, x:x + 4] = 0
+        strips.append(s)
+    return strips
+
+
+def test_rans_corpus_strips_bit_identical_embeddings():
+    import jax
+
+    from audio_sheet_retrieval_tpu.models import cca_model
+    from audio_sheet_retrieval_tpu.models.configs import get_model_config
+
+    rng = np.random.default_rng(21)
+    h, w, n_pieces = 200, 1000, 3
+    strips = _engraving_like_strips(rng, n_pieces, h, w)
+
+    payload, lens, piece_bytes = windows.rans_encode_corpus_strips(strips)
+    decode = windows.make_corpus_rans_decoder(lens)
+    bm2_all, v2_all, v1_all = decode(payload)
+
+    # decoded component stacks must equal the direct rle2 encodings
+    encs = [windows.rle_bitmap2_encode_strip(s) for s in strips]
+    for i, (bm2, v2, v1) in enumerate(encs):
+        np.testing.assert_array_equal(np.asarray(bm2_all[i]), bm2)
+        np.testing.assert_array_equal(
+            np.asarray(v2_all[i])[:v2.size], v2)
+        np.testing.assert_array_equal(
+            np.asarray(v1_all[i])[:v1.size], v1)
+
+    # and the embeddings through the batched rle2 embedder are bit-identical
+    # to the raw-pixel path
+    cfg = get_model_config("mutopia_ccal_cont_rsz", num_filters=4,
+                           dim_latent=8)
+    params = cca_model.init_model(jax.random.PRNGKey(0), cfg)
+    starts = jnp.asarray(windows.linspace_starts(w, 200, 6))
+    batched = windows.make_strip_embedder_rle_bitmap2_batched(
+        params, cfg, (h, w), center_crop=160)
+    raw_embed = windows.make_strip_embedder(params, cfg, center_crop=160)
+    for i, s in enumerate(strips):
+        got = np.asarray(batched(bm2_all, v2_all, v1_all, i, starts))
+        want = np.asarray(raw_embed(jnp.asarray(s), starts))
+        np.testing.assert_array_equal(got, want)
+
+    # honest wire accounting: per-piece bytes beat the rle2 bytes on this
+    # content and the mixed-shape guard trips
+    rle2_bytes = [sum(int(a.size) for a in e) for e in encs]
+    assert all(rb < r2 for rb, r2 in zip(piece_bytes, rle2_bytes))
+    with pytest.raises(ValueError):
+        windows.rans_encode_corpus_strips(
+            [strips[0], strips[1][:, : w // 2]])
