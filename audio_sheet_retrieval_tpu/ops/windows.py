@@ -487,7 +487,7 @@ def make_audio_embedder_mulaw_batched(params, cfg, processor):
 def rans_encode_corpus_strips(strips, pad_to: int = RLE_PAD_RUNS):
     """Entropy-coded corpus sheet wire: two-level bitmap-RLE components
     (rle_bitmap2_encode_strip) compressed by interleaved-stream rANS
-    (ops/rans.py) — ~0.074 B/px on the bench engraving vs rle2's 0.109,
+    (ops/rans.py) — ~0.070 B/px on the bench engraving vs rle2's 0.109,
     still bit-exactly lossless.
 
     All strips must share one [H, W] shape (pad first; the bench and the
@@ -681,6 +681,91 @@ def spec_dequantize_device(codes: jnp.ndarray, scale) -> jnp.ndarray:
     """Device-side inverse of spec_quantize -> float32 [bins, T]."""
     maxcode = float(jnp.iinfo(codes.dtype).max)
     return codes.astype(jnp.float32) * (scale / maxcode)
+
+
+def spec_rans_encode_corpus(specs):
+    """Entropy-coded corpus audio wire: the spec-u8 codes (spec_quantize)
+    compressed by interleaved-stream rANS (ops/rans.py), per piece coding
+    either the raw codes or their time-delta (mod 256) — whichever
+    measures the lower order-0 byte entropy. Music spectrograms are
+    time-smooth, so delta usually wins on real content (the vendored
+    tutorial recording: 0.56 B/B delta vs 0.71 raw); on noise-like content
+    delta loses and raw order-0 still saves ~13% (bench content, round 4).
+    Lossless over the u8 codes, so embeddings are bit-identical to the
+    plain specu8 upload.
+
+    All specs must share one [bins, T] shape (equal-length audio; the
+    bench and device DB builds already bucket). Returns
+    (payload, flags, scales, shape, piece_bytes):
+      payload: (freqs u16[P,256], states u32[P,S], words u16[P,Wmax]),
+      flags:   uint8[P], 1 = delta-coded (decode applies a mod-256
+               time cumsum),
+      scales:  float32[P] dequantization scales,
+      shape:   (bins, T) static decode shape,
+      piece_bytes: honest per-piece wire bytes (real words + table +
+               states + scale + flag, not the stack padding).
+
+    Decode = make_corpus_spec_rans_decoder(shape) -> uint8 codes
+    [P, bins, T] on device, fed with ``scales`` straight into
+    make_spec_embedder_batched(quantized=True). u8 only: rANS codes a
+    byte alphabet, and the hard-corpus sweep gated u8 == u16 in every
+    cell (RESULTS.md round 4).
+    """
+    from audio_sheet_retrieval_tpu.ops import rans
+
+    shapes = {np.asarray(s).shape for s in specs}
+    if len(shapes) != 1:
+        raise ValueError(f"specs must share one shape, got {shapes}")
+    bins, T = shapes.pop()
+
+    def entropy_bits(arr):
+        c = np.bincount(arr.ravel(), minlength=256).astype(np.float64)
+        p = c[c > 0] / arr.size
+        return float(-(p * np.log2(p)).sum()) * arr.size
+
+    chosen, flags, scales = [], [], []
+    for s in specs:
+        codes, scale = spec_quantize(s, bits=8)
+        c16 = codes.astype(np.int16)
+        delta = (np.diff(c16, axis=1,
+                         prepend=np.zeros((bins, 1), np.int16))
+                 & 0xFF).astype(np.uint8)
+        use_delta = entropy_bits(delta) < entropy_bits(codes)
+        chosen.append(delta if use_delta else codes)
+        flags.append(1 if use_delta else 0)
+        scales.append(scale)
+    freqs, states, words, n_words = rans.rans_encode_batch(chosen)
+    piece_bytes = [int(freqs.shape[1] * 2 + states.shape[1] * 4
+                       + nw * 2 + 4 + 1) for nw in n_words]
+    return ((freqs, states, words), np.asarray(flags, np.uint8),
+            np.asarray(scales, np.float32), (bins, T), piece_bytes)
+
+
+def make_corpus_spec_rans_decoder(shape):
+    """One-dispatch device decode of spec_rans_encode_corpus payloads ->
+    uint8 codes [P, bins, T] (the exact quantized input of
+    make_spec_embedder_batched). Delta-coded pieces are inverted by a
+    time-axis cumsum taken mod 256 (uint32 accumulate, truncating cast;
+    exact because the deltas were taken mod 256)."""
+    from audio_sheet_retrieval_tpu.ops import rans
+
+    bins, T = (int(x) for x in shape)
+    n = bins * T
+
+    @jax.jit
+    def decode(freqs, states, words, flags):
+        codes = rans.rans_decode_batch_device(freqs, states, words, n)
+        codes = codes.reshape(-1, bins, T)
+        undelta = jnp.cumsum(codes.astype(jnp.uint32),
+                             axis=2).astype(jnp.uint8)
+        return jnp.where(flags[:, None, None] != 0, undelta, codes)
+
+    def run(payload, flags):
+        f, s, w = payload
+        return decode(jnp.asarray(f), jnp.asarray(s), jnp.asarray(w),
+                      jnp.asarray(flags))
+
+    return run
 
 
 def make_spec_embedder_q(params, cfg):

@@ -29,11 +29,14 @@ Env knobs:
   ASR_BENCH_WIDTH   strip width px per piece (default 20000)
   ASR_BENCH_SHEET   rans (default): the rle2 payload entropy-coded by
                     interleaved-stream rANS (ops/rans.py), LOSSLESS
-                    ~0.074 B/px, corpus-batched one-scan device decode.
+                    ~0.070 B/px (wire-optimal lane counts + native host
+                    encoder, late round 4; 0.074 at the first ~100-step
+                    lane rule), corpus-batched one-scan device decode.
                     Measured back-to-back vs rle2 on the bench tunnel
-                    (round 4): 9,890 vs 8,729 emb/s end-to-end, 1,474 vs
-                    1,114 emb/MB — the decode amortizes to ~0.3 ms/piece,
-                    so it wins at any link speed where wire matters |
+                    (round 4): 9,890 vs 8,729 emb/s end-to-end, 1,474+
+                    vs 1,114 emb/MB — the decode amortizes to well under
+                    a ms/piece, so it wins at any link speed where wire
+                    matters |
                     rle2: LOSSLESS two-level bitmap run-length sheet
                     upload (the level-1 start bitmap is itself
                     bitmap-RLE'd) — bit-identical embeddings at ~0.11 B/px
@@ -43,7 +46,14 @@ Env knobs:
                     pack4: lossy 4-bit (cosine >= 0.99996, 0.5 B/px) |
                     raw: uint8
   ASR_BENCH_PACK4   legacy alias: =0 selects raw when ASR_BENCH_SHEET unset
-  ASR_BENCH_AUDIO   specu8 (default): host DSP + u8-quantized
+  ASR_BENCH_AUDIO   specrans (default): the specu8 codes entropy-coded by
+                    interleaved-stream rANS (ops/rans.py), per piece raw
+                    or time-delta (whichever entropy is lower) — LOSSLESS
+                    over the u8 codes (bit-identical embeddings),
+                    ~1.6 kB/s on the bench's noise audio and ~1.0 kB/s on
+                    real music (the tutorial recording; noise is the
+                    coder's worst case), corpus-batched one-scan device
+                    decode | specu8: host DSP + u8-quantized
                     log-filterbank spectrogram upload, 1.8 kB/s — the
                     reference's own serving architecture (host madmom,
                     precomputed *_spec.npy uploads). Gated by the round-4
@@ -186,17 +196,19 @@ def main():
     audio_mode = os.environ.get("ASR_BENCH_AUDIO")
     if audio_mode is None:
         legacy = os.environ.get("ASR_BENCH_MULAW")
-        audio_mode = {None: "specu8", "1": "mulaw",
+        audio_mode = {None: "specrans", "1": "mulaw",
                       "0": "int16"}[legacy]
-    if audio_mode not in ("specu16", "specu8", "specf32", "mulaw", "int16"):
+    if audio_mode not in ("specrans", "specu16", "specu8", "specf32",
+                          "mulaw", "int16"):
         raise SystemExit(
             f"unknown ASR_BENCH_AUDIO={audio_mode!r} "
-            "(expected specu16 | specu8 | specf32 | mulaw | int16)")
+            "(expected specrans | specu16 | specu8 | specf32 | mulaw | "
+            "int16)")
     mulaw = audio_mode == "mulaw"
     spec_upload = audio_mode.startswith("spec")
     if spec_upload:
         embed_audio = win.make_spec_embedder_q(params, cfg) \
-            if audio_mode != "specf32" else None
+            if audio_mode not in ("specf32", "specrans") else None
         embed_spec_f32 = win.make_spec_embedder(params, cfg)
     elif mulaw:
         embed_audio = win.make_audio_embedder_mulaw(params, cfg, proc)
@@ -232,7 +244,7 @@ def main():
     t_sheet_enc = time.perf_counter()  # client-side encode cost (see below)
     rans_payload = rans_lens = rans_decode = None
     if sheet_mode == "rans":
-        # rANS-entropy-coded rle2 components (~0.074 vs 0.109 B/px,
+        # rANS-entropy-coded rle2 components (~0.070 vs 0.109 B/px,
         # lossless; device decode ~7 ms for the whole corpus — the
         # bandwidth-starved-link recipe, see ops/rans.py)
         rans_payload, rans_lens, sheet_bytes = \
@@ -304,9 +316,13 @@ def main():
         t_dsp = time.perf_counter()
         spec_list = [proc.process_host(a) for a in audios]
         dsp_ms = (time.perf_counter() - t_dsp) / n_pieces * 1000
+        spec_rans = None
         if audio_mode == "specf32":
             audio_payloads = [(np.asarray(s, np.float32), np.float32(1.0))
                               for s in spec_list]
+        elif audio_mode == "specrans":
+            spec_rans = win.spec_rans_encode_corpus(spec_list)
+            audio_payloads = None
         else:
             bits = 16 if audio_mode == "specu16" else 8
             audio_payloads = [win.spec_quantize(s, bits=bits)
@@ -316,13 +332,16 @@ def main():
             t_re = time.perf_counter()
             sl_re = [proc.process_host(a) for a in audios]
             dsp_re = (time.perf_counter() - t_re) / n_pieces * 1000
-            if audio_mode != "specf32":
+            if audio_mode == "specrans":
+                win.spec_rans_encode_corpus(sl_re)
+            elif audio_mode != "specf32":
                 for s in sl_re:
                     win.spec_quantize(s, bits=bits)
             audio_encode_s = min(audio_encode_s,
                                  time.perf_counter() - t_re)
             dsp_ms = min(dsp_ms, dsp_re)
-        audio_bytes = audio_payloads[0][0].nbytes + 4
+        audio_bytes = (int(np.mean(spec_rans[4])) if spec_rans is not None
+                       else audio_payloads[0][0].nbytes + 4)
         log(f"host DSP: {dsp_ms:.0f} ms/piece ({secs}s audio)")
     elif mulaw:
         t_mu = time.perf_counter()
@@ -350,6 +369,10 @@ def main():
         raise SystemExit("ASR_BENCH_SHEET=rans is a corpus-batched coding; "
                          "it requires batched uploads and a spec/mulaw "
                          "audio mode")
+    if audio_mode == "specrans" and not batch_upload:
+        raise SystemExit("ASR_BENCH_AUDIO=specrans is a corpus-batched "
+                         "coding; it requires batched uploads and an "
+                         "rle/rle2/rans sheet mode")
     if batch_upload:
         if sheet_mode == "rans":
             rans_decode = win.make_corpus_rans_decoder(rans_lens)
@@ -366,7 +389,13 @@ def main():
             lens_all = np.stack([b for _, b in strips])   # values
             embed_strip_b = win.make_strip_embedder_rle_bitmap_batched(
                 params, cfg, (strip_h, width), center_crop=160)
-        if spec_upload:
+        if audio_mode == "specrans":
+            spec_rans_payload, spec_flags, scales_all, spec_shape, _ = \
+                spec_rans
+            spec_rans_dec = win.make_corpus_spec_rans_decoder(spec_shape)
+            embed_audio_b = win.make_spec_embedder_batched(
+                params, cfg, quantized=True)
+        elif spec_upload:
             codes_all = np.stack([c for c, _ in audio_payloads])
             scales_all = np.asarray([s for _, s in audio_payloads],
                                     np.float32)
@@ -411,7 +440,10 @@ def main():
         else:
             r1 = embed_strip_b(jnp.asarray(vals_all), jnp.asarray(lens_all),
                                0, sheet_starts_d)
-        if spec_upload:
+        if audio_mode == "specrans":
+            r2 = embed_audio_b(spec_rans_dec(spec_rans_payload, spec_flags),
+                               jnp.asarray(scales_all), 0, spec_starts_d)
+        elif spec_upload:
             r2 = embed_audio_b(jnp.asarray(codes_all),
                                jnp.asarray(scales_all), 0, spec_starts_d)
         else:
@@ -442,7 +474,12 @@ def main():
             else:
                 sheet_payload = (jax.device_put(vals_all),
                                  jax.device_put(lens_all))
-            if spec_upload:
+            if audio_mode == "specrans":
+                # upload the 3 coded arrays + flags + ONE corpus decode
+                # dispatch; the decoded u8 codes never leave the device
+                ca = spec_rans_dec(spec_rans_payload, spec_flags)
+                sa = jax.device_put(scales_all)
+            elif spec_upload:
                 ca = jax.device_put(codes_all)
                 sa = jax.device_put(scales_all)
             else:
@@ -548,7 +585,7 @@ def main():
     gal = DeviceGallery(rng.standard_normal((100_000, 32)).astype(np.float32),
                         ids=rng.integers(0, 1000, 100_000))
     q_starts = jnp.asarray(win.linspace_starts(n_frames, spec_w, 100))
-    q_bits = {"specu8": 8}.get(audio_mode, 16)
+    q_bits = {"specu8": 8, "specrans": 8}.get(audio_mode, 16)
     q_specs = ([proc.process_host(a) for a in raw_audios[:6]]
                if not spec_upload else spec_list[:6])
     q_payloads = [win.spec_quantize(s, bits=q_bits) for s in q_specs]

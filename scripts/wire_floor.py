@@ -26,7 +26,7 @@ no XLA-parallel decode exists; measured negative, round 2).
 POSTSCRIPT (later in round 4): the "no XLA-parallel decode" premise was
 overturned for ONE entropy coder — interleaved-stream range-ANS
 (ops/rans.py decodes S lanes per `lax.scan` step). Order-0 rANS over the
-rle2 payload bytes reaches 0.074 B/px lossless (within ~2% of the
+rle2 payload bytes reaches 0.070 B/px lossless (within ~2% of the
 payload's byte-entropy bound this script prints) and is now the serving
 default. The context-model floor (~0.05 B/px) still stands as
 unreachable: adaptive per-symbol model updates are serial by

@@ -98,6 +98,38 @@ def test_rans_batch_decode_matches_per_payload():
         assert (words[i, int(n_words[i]):] == 0).all()
 
 
+def test_native_encoder_matches_numpy():
+    # the C++ batch encoder (native/rans) must be bit-identical to the
+    # numpy path: same states, words, word order, counts
+    lib = rans._native_lib()
+    if lib is None:
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(13)
+    n = 40_000
+    arrays = [_skewed_bytes(rng, n) for _ in range(5)]
+    arrays.append(np.full(n, 7, np.uint8))  # constant row
+    freqs = np.stack([rans.quantize_freqs(np.bincount(a, minlength=256))
+                      for a in arrays])
+    for S in (128, 256, 1024):
+        a_nat = rans._rans_encode_batch_native(lib, arrays, freqs, S)
+        a_np = rans._rans_encode_batch_numpy(arrays, freqs, S)
+        for x, y in zip(a_nat, a_np):
+            np.testing.assert_array_equal(x, y)
+
+
+def test_batch_encoder_matches_per_payload():
+    rng = np.random.default_rng(17)
+    n = 9_777  # not a multiple of any lane count: tail padding
+    arrays = [_skewed_bytes(rng, n) for _ in range(3)]
+    freqs, states, words, n_words = rans.rans_encode_batch(arrays, 256)
+    for i, a in enumerate(arrays):
+        f1, s1, w1 = rans.rans_encode(a, 256)
+        np.testing.assert_array_equal(freqs[i], f1)
+        np.testing.assert_array_equal(states[i], s1)
+        assert int(n_words[i]) == w1.size
+        np.testing.assert_array_equal(words[i, :w1.size], w1)
+
+
 def _engraving_like_strips(rng, n_pieces, h, w):
     # bilevel-ish staff-line content: long white runs + short black runs,
     # different per piece (the corpus coder must not share tables)
@@ -159,3 +191,63 @@ def test_rans_corpus_strips_bit_identical_embeddings():
     with pytest.raises(ValueError):
         windows.rans_encode_corpus_strips(
             [strips[0], strips[1][:, : w // 2]])
+
+
+def _spec_like(rng, bins, T, smooth):
+    if smooth:
+        # time-smooth log-magnitudes like real music: slow envelopes ->
+        # the delta arm must measure the lower entropy and be chosen
+        t = np.linspace(0, 1, T)
+        env = 1.0 + 0.5 * np.sin(2 * np.pi * 3 * t)
+        return env[None, :] * np.linspace(0.5, 2.0, bins)[:, None]
+    return np.abs(rng.standard_normal((bins, T))).astype(np.float32)
+
+
+def test_spec_rans_corpus_roundtrip_and_arm_choice():
+    rng = np.random.default_rng(31)
+    bins, T = 92, 300
+    specs = [_spec_like(rng, bins, T, smooth=False) for _ in range(3)]
+    specs.append(_spec_like(rng, bins, T, smooth=True))
+
+    payload, flags, scales, shape, piece_bytes = \
+        windows.spec_rans_encode_corpus(specs)
+    assert shape == (bins, T)
+    assert flags[-1] == 1  # smooth piece -> delta arm
+    decode = windows.make_corpus_spec_rans_decoder(shape)
+    codes = np.asarray(decode(payload, flags))
+    for i, s in enumerate(specs):
+        want, scale = windows.spec_quantize(s, bits=8)
+        np.testing.assert_array_equal(codes[i], want)
+        assert np.float32(scale) == scales[i]
+    # honest wire accounting: the smooth piece compresses well below raw
+    assert piece_bytes[-1] < bins * T // 2
+    with pytest.raises(ValueError):
+        windows.spec_rans_encode_corpus([specs[0], specs[1][:, : T // 2]])
+
+
+def test_spec_rans_bit_identical_embeddings():
+    import jax
+
+    from audio_sheet_retrieval_tpu.models import cca_model
+    from audio_sheet_retrieval_tpu.models.configs import get_model_config
+
+    rng = np.random.default_rng(37)
+    bins, T = 92, 300
+    specs = [_spec_like(rng, bins, T, smooth=bool(i % 2)) for i in range(4)]
+    payload, flags, scales, shape, _ = \
+        windows.spec_rans_encode_corpus(specs)
+    codes = windows.make_corpus_spec_rans_decoder(shape)(payload, flags)
+
+    cfg = get_model_config("mutopia_ccal_cont_rsz", num_filters=4,
+                           dim_latent=8)
+    params = cca_model.init_model(jax.random.PRNGKey(0), cfg)
+    starts = jnp.asarray(windows.linspace_starts(T, cfg.input_shape_2[2], 5))
+    batched = windows.make_spec_embedder_batched(params, cfg,
+                                                 quantized=True)
+    scales_j = jnp.asarray(scales)
+    for i, s in enumerate(specs):
+        want_codes, scale = windows.spec_quantize(s, bits=8)
+        want = np.asarray(batched(jnp.asarray(
+            np.stack([want_codes] * len(specs))), scales_j, i, starts))
+        got = np.asarray(batched(codes, scales_j, i, starts))
+        np.testing.assert_array_equal(got, want)
