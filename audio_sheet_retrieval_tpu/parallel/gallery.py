@@ -197,6 +197,37 @@ def make_sharded_piece_query(mesh: Mesh, params, cfg, gallery,
     return query
 
 
+def _pad_strip_stack(m: int, cfg, strips, stride: Optional[int]):
+    """Shared host prep of the sharded sheet builders: pieces padded
+    (all-white) to a multiple of the shard count ``m``, widths to the
+    global max, heights vertically CENTERED (see the parity note inline).
+    Returns (stack [P_pad, h, w] u8, valid [P_pad, n_win] f32, starts,
+    n_win, n_pieces, h, w)."""
+    from audio_sheet_retrieval_tpu.ops import windows as win
+
+    sheet_w = cfg.input_shape_1[2]
+    stride = stride or sheet_w // 4
+    n_pieces = len(strips)
+    p_pad = int(np.ceil(n_pieces / m) * m)
+    h = max(s.shape[0] for s in strips)
+    w = max(s.shape[1] for s in strips)
+    stack = np.full((p_pad, h, w), 255, np.uint8)
+    starts = win.stride_starts(w, sheet_w, stride)
+    n_win = len(starts)
+    valid = np.zeros((p_pad, n_win), np.float32)
+    for i, s in enumerate(strips):
+        # align the GLOBAL center crop (r0 = h//2 - crop//2 inside
+        # _strip_embed_core) with the piece's own center crop
+        # (s_h//2 - crop//2): padded row r0 - v_off must equal the piece
+        # row for ANY height parity, so v_off = h//2 - s_h//2 — the
+        # naive (h - s_h)//2 is one row off when exactly one of h, s_h
+        # is odd, silently breaking single-chip embedding parity
+        v_off = h // 2 - s.shape[0] // 2
+        stack[i, v_off:v_off + s.shape[0], :s.shape[1]] = s
+        valid[i, :len(win.stride_starts(s.shape[1], sheet_w, stride))] = 1.0
+    return stack, valid, starts, n_win, n_pieces, h, w
+
+
 def build_sharded_sheet_gallery(mesh: Mesh, params, cfg,
                                 strips, *, stride: Optional[int] = None,
                                 center_crop: int = 160,
@@ -229,27 +260,8 @@ def build_sharded_sheet_gallery(mesh: Mesh, params, cfg,
     """
     from audio_sheet_retrieval_tpu.ops import windows as win
 
-    m = mesh.shape[axis]
-    sheet_w = cfg.input_shape_1[2]
-    stride = stride or sheet_w // 4
-    n_pieces = len(strips)
-    p_pad = int(np.ceil(n_pieces / m) * m)
-    h = max(s.shape[0] for s in strips)
-    w = max(s.shape[1] for s in strips)
-    stack = np.full((p_pad, h, w), 255, np.uint8)
-    starts = win.stride_starts(w, sheet_w, stride)
-    n_win = len(starts)
-    valid = np.zeros((p_pad, n_win), np.float32)
-    for i, s in enumerate(strips):
-        # align the GLOBAL center crop (r0 = h//2 - crop//2 inside
-        # _strip_embed_core) with the piece's own center crop
-        # (s_h//2 - crop//2): padded row r0 - v_off must equal the piece
-        # row for ANY height parity, so v_off = h//2 - s_h//2 — the
-        # naive (h - s_h)//2 is one row off when exactly one of h, s_h
-        # is odd, silently breaking single-chip embedding parity
-        v_off = h // 2 - s.shape[0] // 2
-        stack[i, v_off:v_off + s.shape[0], :s.shape[1]] = s
-        valid[i, :len(win.stride_starts(s.shape[1], sheet_w, stride))] = 1.0
+    stack, valid, starts, n_win, n_pieces, h, w = _pad_strip_stack(
+        mesh.shape[axis], cfg, strips, stride)
 
     def local_build(p_, strips_local, starts_, valid_local):
         # [P/m, H, W] -> [P/m * n_win, d]; sequential per piece (lax.map)
@@ -276,6 +288,67 @@ def build_sharded_sheet_gallery(mesh: Mesh, params, cfg,
                   valid_dev)
     # window rows follow piece order; padding pieces occupy the tail.
     # White-padding windows of narrow pieces vote into the overflow bin.
+    ids = np.where(valid[:n_pieces].reshape(-1) > 0,
+                   np.repeat(np.arange(n_pieces, dtype=np.int64), n_win),
+                   np.int64(n_pieces))
+    return codes, ids, n_pieces * n_win
+
+
+def build_sharded_sheet_gallery_coded(mesh: Mesh, params, cfg,
+                                      strips, *,
+                                      stride: Optional[int] = None,
+                                      center_crop: int = 160,
+                                      axis: str = DB_AXIS):
+    """Pod-scale sheet-DB build over the serving WIRE coding: identical
+    semantics to build_sharded_sheet_gallery, but the strips ship as the
+    interleaved-rANS-coded two-level bitmap-RLE payloads (~0.07 B/px,
+    ops/windows.rans_encode_corpus_strips) instead of raw pixels
+    (1 B/px) — on a pod that is the difference between a multi-GB and a
+    multi-hundred-MB ingest riding DCN to the hosts. Each shard decodes
+    only ITS pieces' payloads in-graph (one rANS scan per component +
+    two cumsum/gather RLE passes per piece) before embedding; the
+    decoded pixels are bit-identical, so gallery codes match the raw
+    builder's exactly (tests/test_parallel.py).
+
+    Returns (codes sharded over ``axis``, ids, n_real) — the same
+    contract as build_sharded_sheet_gallery; feed to
+    make_sharded_piece_query.
+    """
+    from audio_sheet_retrieval_tpu.ops import rans, windows as win
+
+    stack, valid, starts, n_win, n_pieces, h, w = _pad_strip_stack(
+        mesh.shape[axis], cfg, strips, stride)
+    payload, lens, _ = win.rans_encode_corpus_strips(list(stack))
+    n0, n1, n2 = (int(x) for x in lens)
+
+    def local_build(p_, f0, s0, w0, f1, s1, w1, f2, s2, w2, starts_,
+                    valid_local):
+        bm2 = rans.rans_decode_batch_device(f0, s0, w0, n0)
+        v2 = rans.rans_decode_batch_device(f1, s1, w1, n1)
+        v1 = rans.rans_decode_batch_device(f2, s2, w2, n2)
+
+        def embed_one(args):
+            b_, v2_, v1_, v = args
+            strip = win.rle_bitmap2_decode_device(b_, v2_, v1_, h, w)
+            codes1 = win._strip_embed_core(p_, strip, starts_, cfg, False,
+                                           center_crop)
+            return codes1 * v[:, None]
+
+        codes = jax.lax.map(embed_one, (bm2, v2, v1, valid_local))
+        return codes.reshape(-1, codes.shape[-1])
+
+    build = jax.jit(jax.shard_map(
+        local_build, mesh=mesh,
+        in_specs=(P(),) + (P(axis, None),) * 9 + (P(), P(axis, None)),
+        out_specs=P(axis, None),
+        check_vma=False,
+    ))
+    sh = NamedSharding(mesh, P(axis, None))
+    wire = [jax.device_put(np.asarray(a), sh)
+            for comp in payload for a in comp]
+    valid_dev = jax.device_put(valid, sh)
+    codes = build(jax.device_put(params), *wire, jnp.asarray(starts),
+                  valid_dev)
     ids = np.where(valid[:n_pieces].reshape(-1) > 0,
                    np.repeat(np.arange(n_pieces, dtype=np.int64), n_win),
                    np.int64(n_pieces))

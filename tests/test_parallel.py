@@ -306,3 +306,39 @@ def test_sharded_gallery_build_mixed_width_matches_single_chip(mesh8):
         got_counts = np.asarray(sharded(jnp.asarray(payload), scale,
                                         qstarts))
         np.testing.assert_array_equal(got_counts, want_counts)
+
+
+def test_sharded_gallery_build_coded_matches_raw(mesh8):
+    """Wire-coded pod build (build_sharded_sheet_gallery_coded): the
+    strips ship as the rANS-coded rle2 serving wire and decode on-shard —
+    the decode is bit-exact, so gallery codes, ids and n_real must equal
+    the raw-pixel sharded build's EXACTLY. Mixed widths/heights exercise
+    the white padding and vertical centering through the coded path."""
+    import jax.numpy as jnp
+
+    from audio_sheet_retrieval_tpu.models import cca_model
+    from audio_sheet_retrieval_tpu.models.configs import get_model_config
+
+    cfg = get_model_config("mutopia_ccal_cont_rsz", num_filters=4,
+                           dim_latent=8)
+    params = cca_model.init_model(jax.random.PRNGKey(5), cfg)
+    params = params._replace(cca=params.cca._replace(
+        U=jnp.eye(cfg.dim_latent), V=jnp.eye(cfg.dim_latent)))
+    rng = np.random.default_rng(17)
+    widths = [1200, 800, 1200, 500]
+    heights = [200, 171, 190, 200]
+    strips = []
+    for w_i, h_i in zip(widths, heights):
+        s = np.full((h_i, w_i), 255, np.uint8)
+        for x in rng.integers(0, w_i - 10, max(10, w_i // 25)):
+            s[rng.integers(10, h_i - 30):, x:x + 5][:12] = 0
+        strips.append(s)
+
+    raw_codes, raw_ids, raw_n = pg.build_sharded_sheet_gallery(
+        mesh8, params, cfg, strips)
+    coded_codes, coded_ids, coded_n = pg.build_sharded_sheet_gallery_coded(
+        mesh8, params, cfg, strips)
+    assert coded_n == raw_n
+    np.testing.assert_array_equal(coded_ids, raw_ids)
+    np.testing.assert_array_equal(np.asarray(coded_codes),
+                                  np.asarray(raw_codes))
