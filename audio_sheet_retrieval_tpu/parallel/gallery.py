@@ -118,6 +118,48 @@ def sharded_gallery_search(mesh: Mesh, gallery: np.ndarray,
     return np.where(valid, s, -np.inf), np.where(valid, i, 0)
 
 
+def _prep_sharded_gallery(mesh: Mesh, gallery, ids, n_pieces: int,
+                          n_candidates: int, axis: str,
+                          n_real: Optional[int]):
+    """Shared gallery prep of the sharded fused queries: upload/normalize
+    the rows (host arrays pad here; device arrays from the sharded
+    builders stay put), map padding rows to the overflow id bin, and
+    build the -inf validity mask. Rows carrying the overflow id are
+    padding — the contiguous tail AND any interleaved white-window rows
+    of mixed-width sharded builds (build_sharded_sheet_gallery maps those
+    to n_pieces). Masking them before the local top-k gives exact count
+    parity with the single-chip per-piece-truncated build even when real
+    scores are negative (they can never crowd candidate slots).
+    Returns (gal_dev, ids_dev, valid_dev, k)."""
+    if isinstance(gallery, jax.Array) and not isinstance(gallery,
+                                                         np.ndarray):
+        assert gallery.shape[0] % mesh.shape[axis] == 0, (
+            "device gallery rows must divide the shard count (the builder "
+            "pads pieces)")
+        n = int(n_real) if n_real is not None else int(gallery.shape[0])
+
+        @jax.jit
+        def _norm(g_):
+            nn = jnp.linalg.norm(g_, axis=1, keepdims=True)
+            return g_ / jnp.where(nn == 0, 1.0, nn)
+
+        gal_dev = _norm(gallery.astype(jnp.float32))
+        total = int(gallery.shape[0])
+    else:
+        n = gallery.shape[0]
+        g = _pad_normalize_gallery(np.asarray(gallery, np.float32),
+                                   mesh.shape[axis])
+        gal_dev = jax.device_put(g, NamedSharding(mesh, P(axis, None)))
+        total = g.shape[0]
+    k = min(n_candidates, n)
+    ids_pad = np.full(total, n_pieces, np.int32)  # pad -> overflow bin
+    ids_pad[:n] = np.asarray(ids, np.int32)[:n]
+    ids_dev = jax.device_put(ids_pad, NamedSharding(mesh, P(None)))
+    valid_rows = (ids_pad != n_pieces).astype(np.float32)
+    valid_dev = jax.device_put(valid_rows, NamedSharding(mesh, P(axis)))
+    return gal_dev, ids_dev, valid_dev, k
+
+
 def make_sharded_piece_query(mesh: Mesh, params, cfg, gallery,
                              ids: np.ndarray, n_pieces: int, *,
                              n_candidates: int = 25, axis: str = DB_AXIS,
@@ -146,38 +188,8 @@ def make_sharded_piece_query(mesh: Mesh, params, cfg, gallery,
         embed_spec_excerpts,
     )
 
-    if isinstance(gallery, jax.Array) and not isinstance(gallery,
-                                                         np.ndarray):
-        assert gallery.shape[0] % mesh.shape[axis] == 0, (
-            "device gallery rows must divide the shard count (the builder "
-            "pads pieces)")
-        n = int(n_real) if n_real is not None else int(gallery.shape[0])
-
-        @jax.jit
-        def _norm(g_):
-            nn = jnp.linalg.norm(g_, axis=1, keepdims=True)
-            return g_ / jnp.where(nn == 0, 1.0, nn)
-
-        gal_dev = _norm(gallery.astype(jnp.float32))
-        total = int(gallery.shape[0])
-    else:
-        n = gallery.shape[0]
-        g = _pad_normalize_gallery(np.asarray(gallery, np.float32),
-                                   mesh.shape[axis])
-        gal_dev = jax.device_put(g, NamedSharding(mesh, P(axis, None)))
-        total = g.shape[0]
-    k = min(n_candidates, n)
-    ids_pad = np.full(total, n_pieces, np.int32)  # pad -> overflow bin
-    ids_pad[:n] = np.asarray(ids, np.int32)[:n]
-    ids_dev = jax.device_put(ids_pad, NamedSharding(mesh, P(None)))
-    # rows carrying the overflow id are padding — the contiguous tail AND
-    # any interleaved white-window rows of mixed-width sharded builds
-    # (build_sharded_sheet_gallery maps those to n_pieces). Masking them to
-    # -inf before the local top-k gives exact count parity with the
-    # single-chip per-piece-truncated build even when real scores are
-    # negative (they can never crowd candidate slots).
-    valid_rows = (ids_pad != n_pieces).astype(np.float32)
-    valid_dev = jax.device_put(valid_rows, NamedSharding(mesh, P(axis)))
+    gal_dev, ids_dev, valid_dev, k = _prep_sharded_gallery(
+        mesh, gallery, ids, n_pieces, n_candidates, axis, n_real)
     topk_fn, _ = make_sharded_topk(mesh, k, axis, with_valid=True)
 
     @jax.jit
@@ -193,6 +205,78 @@ def make_sharded_piece_query(mesh: Mesh, params, cfg, gallery,
     def query(payload, scale, starts):
         return q(params, gal_dev, ids_dev, valid_dev, payload,
                  jnp.float32(scale), starts)
+
+    return query
+
+
+def make_sharded_sheet_query(mesh: Mesh, params, cfg, gallery,
+                             ids: np.ndarray, n_pieces: int, *,
+                             n_candidates: int = 25, axis: str = DB_AXIS,
+                             coding: str = "rle_bitmap2",
+                             strip_shape=None,
+                             n_real: Optional[int] = None):
+    """Pod-scale fused detect_performance: the sheet->audio MIRROR of
+    make_sharded_piece_query (single-chip fast path:
+    retrieval.gallery.make_fused_sheet_query; reference protocol
+    audio_sheet_server.py:255-300). The query strip uploads once —
+    lossless two-level bitmap-RLE wire by default — embeds replicated
+    under GSPMD, and the AUDIO-excerpt gallery top-k + piece-id vote
+    histogram run sharded over ``axis``.
+
+    ``gallery``: host [N, d] rows, or a DEVICE array sharded over
+    ``axis`` (the output of build_sharded_audio_gallery — pass its
+    n_real). ``coding``: 'rle_bitmap2' (needs ``strip_shape=(H, W)``;
+    query(bm2, vals2, values, starts)) or 'raw' (query(strip, starts)).
+
+    Returns query(...) -> counts [n_pieces].
+    """
+    from audio_sheet_retrieval_tpu.models import cca_model
+    from audio_sheet_retrieval_tpu.ops.windows import (
+        gather_windows,
+        rle_bitmap2_decode_device,
+    )
+    from audio_sheet_retrieval_tpu.train.engine import prepare_view1_device
+
+    if coding not in ("rle_bitmap2", "raw"):
+        raise ValueError(f"unknown coding {coding!r}")
+    if coding == "rle_bitmap2" and strip_shape is None:
+        raise ValueError("coding='rle_bitmap2' needs strip_shape=(H, W)")
+    h, window = cfg.input_shape_1[1], cfg.input_shape_1[2]
+    gal_dev, ids_dev, valid_dev, k = _prep_sharded_gallery(
+        mesh, gallery, ids, n_pieces, n_candidates, axis, n_real)
+    topk_fn, _ = make_sharded_topk(mesh, k, axis, with_valid=True)
+
+    def _body(p, gal, idtab, valid, strip, starts):
+        r0 = strip.shape[0] // 2 - h // 2
+        strip = jax.lax.dynamic_slice_in_dim(strip, r0, h, axis=0)
+        wins = gather_windows(strip.astype(jnp.float32), starts, window)
+        codes = cca_model.embed_view1(
+            p, prepare_view1_device(wins[:, None, :, :], cfg), cfg)
+        _, idx = topk_fn(gal, codes.astype(jnp.float32), valid)
+        pid = idtab[idx]
+        return jnp.sum(pid[..., None] == jnp.arange(n_pieces), axis=(0, 1))
+
+    @jax.jit
+    def q_rle2(p, gal, idtab, valid, bm2, vals2, values, starts):
+        strip = rle_bitmap2_decode_device(bm2, vals2, values, *strip_shape)
+        return _body(p, gal, idtab, valid, strip, starts)
+
+    @jax.jit
+    def q_raw(p, gal, idtab, valid, strip, starts):
+        return _body(p, gal, idtab, valid, strip, starts)
+
+    params = jax.device_put(params)
+
+    if coding == "rle_bitmap2":
+        def query(bm2, vals2, values, starts):
+            """(bm2, vals2, values) from
+            ops.windows.rle_bitmap2_encode_strip of the [H, W] strip."""
+            return q_rle2(params, gal_dev, ids_dev, valid_dev, bm2, vals2,
+                          values, starts)
+        return query
+
+    def query(strip, starts):
+        return q_raw(params, gal_dev, ids_dev, valid_dev, strip, starts)
 
     return query
 
@@ -349,6 +433,135 @@ def build_sharded_sheet_gallery_coded(mesh: Mesh, params, cfg,
     valid_dev = jax.device_put(valid, sh)
     codes = build(jax.device_put(params), *wire, jnp.asarray(starts),
                   valid_dev)
+    ids = np.where(valid[:n_pieces].reshape(-1) > 0,
+                   np.repeat(np.arange(n_pieces, dtype=np.int64), n_win),
+                   np.int64(n_pieces))
+    return codes, ids, n_pieces * n_win
+
+
+def build_sharded_audio_gallery(mesh: Mesh, params, cfg, specs, *,
+                                stride: Optional[int] = None,
+                                quantize: int = 16, coded: bool = False,
+                                axis: str = DB_AXIS):
+    """Pod-scale audio-DB build: the sheet->audio mirror of
+    build_sharded_sheet_gallery. Pieces' spectrograms are partitioned
+    across the mesh, each chip embeds only ITS pieces' sliding context
+    windows (the single-chip fast path is
+    retrieval.server.initialize_audio_db_from_specs_device), and the
+    excerpt codes come out SHARDED over ``axis``.
+
+    ``specs``: per-piece [bins, T_i] float32 spectrograms (host). Pieces
+    pad (zeros = silence) to the global max T and to a multiple of the
+    shard count; the shared start grid covers the longest piece, and a
+    shorter piece's grid-tail windows are zeroed + mapped to the overflow
+    id bin, exactly like the sheet build's white-padding windows — so
+    per-piece codes equal the single-chip per-piece-truncated build
+    bit-for-bit (tests/test_parallel.py).
+
+    ``quantize``: 16 (the strict rank-agreement-lossless wire, single-chip
+    parity recipe) or 8 (the hard-corpus-gated minimum wire).
+    ``coded=True`` (u8 only) additionally ships the codes entropy-coded by
+    the spec-rANS serving wire (raw-or-time-delta per piece,
+    ops/windows.spec_rans_encode_corpus) and decodes on-shard — lossless
+    over the codes, so embeddings are bit-identical to ``coded=False``.
+
+    Returns (codes sharded over ``axis``, ids, n_real) — the
+    make_sharded_piece_query contract.
+    """
+    from audio_sheet_retrieval_tpu.models import cca_model
+    from audio_sheet_retrieval_tpu.ops import rans
+    from audio_sheet_retrieval_tpu.ops import windows as win
+    from audio_sheet_retrieval_tpu.train.engine import prepare_view2_device
+
+    if coded and quantize != 8:
+        raise ValueError("coded=True is the u8 spec-rANS wire")
+    m = mesh.shape[axis]
+    ctx = cfg.input_shape_2[2]
+    stride = stride or ctx // 4
+    n_pieces = len(specs)
+    p_pad = int(np.ceil(n_pieces / m) * m)
+    bins = {s.shape[0] for s in specs}
+    if len(bins) != 1:
+        raise ValueError(f"specs must share the bin count, got {bins}")
+    bins = bins.pop()
+    T = max(s.shape[1] for s in specs)
+    stack = np.zeros((p_pad, bins, T), np.float32)
+    starts = win.stride_starts(T, ctx, stride)
+    n_win = len(starts)
+    valid = np.zeros((p_pad, n_win), np.float32)
+    for i, s in enumerate(specs):
+        stack[i, :, :s.shape[1]] = np.asarray(s, np.float32)
+        valid[i, :len(win.stride_starts(s.shape[1], ctx, stride))] = 1.0
+    maxcode = float((1 << quantize) - 1)
+
+    def embed_one_fn(p_, starts_):
+        def embed_one(args):
+            c, sc, v = args
+            spec = c.astype(jnp.float32) * (sc / maxcode)
+            wins = win.gather_windows(spec, starts_, ctx)
+            x = prepare_view2_device(wins[:, None, :, :])
+            e = cca_model.embed_view2(p_, x, cfg)
+            # grid-tail windows read the zero padding: their L2-normalized
+            # embedding is NaN (0/0), so select — don't multiply — to zero
+            return jnp.where(v[:, None] > 0, e, 0.0)
+
+        return embed_one
+
+    sh_p = NamedSharding(mesh, P(axis))
+    sh_pn = NamedSharding(mesh, P(axis, None))
+    if coded:
+        payload, flags, scales, _, _ = win.spec_rans_encode_corpus(
+            list(stack))
+        n_codes = bins * T
+
+        def local_build(p_, f_, s_, w_, flags_, scales_, starts_,
+                        valid_local):
+            codes = rans.rans_decode_batch_device(f_, s_, w_, n_codes)
+            codes = codes.reshape(-1, bins, T)
+            undelta = jnp.cumsum(codes.astype(jnp.uint32),
+                                 axis=2).astype(jnp.uint8)
+            codes = jnp.where(flags_[:, None, None] != 0, undelta, codes)
+            out = jax.lax.map(embed_one_fn(p_, starts_),
+                              (codes, scales_, valid_local))
+            return out.reshape(-1, out.shape[-1])
+
+        build = jax.jit(jax.shard_map(
+            local_build, mesh=mesh,
+            in_specs=(P(),) + (P(axis, None),) * 3 + (P(axis), P(axis),
+                                                      P(), P(axis, None)),
+            out_specs=P(axis, None),
+            check_vma=False,
+        ))
+        codes = build(jax.device_put(params),
+                      *(jax.device_put(np.asarray(a), sh_pn)
+                        for a in payload),
+                      jax.device_put(flags, sh_p),
+                      jax.device_put(scales, sh_p),
+                      jnp.asarray(starts), jax.device_put(valid, sh_pn))
+    else:
+        q = [win.spec_quantize(stack[i], bits=quantize)
+             for i in range(p_pad)]
+        codes_stack = np.stack([c for c, _ in q])
+        scales = np.asarray([s for _, s in q], np.float32)
+
+        def local_build(p_, codes_local, scales_, starts_, valid_local):
+            out = jax.lax.map(embed_one_fn(p_, starts_),
+                              (codes_local, scales_, valid_local))
+            return out.reshape(-1, out.shape[-1])
+
+        build = jax.jit(jax.shard_map(
+            local_build, mesh=mesh,
+            in_specs=(P(), P(axis, None, None), P(axis), P(),
+                      P(axis, None)),
+            out_specs=P(axis, None),
+            check_vma=False,
+        ))
+        codes = build(jax.device_put(params),
+                      jax.device_put(codes_stack,
+                                     NamedSharding(mesh, P(axis, None,
+                                                           None))),
+                      jax.device_put(scales, sh_p), jnp.asarray(starts),
+                      jax.device_put(valid, sh_pn))
     ids = np.where(valid[:n_pieces].reshape(-1) > 0,
                    np.repeat(np.arange(n_pieces, dtype=np.int64), n_win),
                    np.int64(n_pieces))

@@ -342,3 +342,117 @@ def test_sharded_gallery_build_coded_matches_raw(mesh8):
     np.testing.assert_array_equal(coded_ids, raw_ids)
     np.testing.assert_array_equal(np.asarray(coded_codes),
                                   np.asarray(raw_codes))
+
+
+def test_sharded_audio_gallery_build_matches_single_chip(mesh8):
+    """Pod-scale audio-DB build (build_sharded_audio_gallery): ragged
+    piece lengths, codes bit-equal to the single-chip per-piece quantized
+    embedder, grid-tail windows zeroed + overflow ids, and the
+    coded=True u8 spec-rANS wire bit-equal to the uncoded u8 build."""
+    import jax.numpy as jnp
+
+    from audio_sheet_retrieval_tpu.models import cca_model
+    from audio_sheet_retrieval_tpu.models.configs import get_model_config
+    from audio_sheet_retrieval_tpu.ops import windows
+
+    cfg = get_model_config("mutopia_ccal_cont_rsz", num_filters=4,
+                           dim_latent=8)
+    params = cca_model.init_model(jax.random.PRNGKey(6), cfg)
+    params = params._replace(cca=params.cca._replace(
+        U=jnp.eye(cfg.dim_latent), V=jnp.eye(cfg.dim_latent)))
+    rng = np.random.default_rng(19)
+    ctx = cfg.input_shape_2[2]
+    lengths = [260, 140, 200, 331]
+    specs = [(rng.random((92, t)) * 4).astype(np.float32) for t in lengths]
+
+    codes, ids, n_real = pg.build_sharded_audio_gallery(
+        mesh8, params, cfg, specs, quantize=16)
+    n_pieces = len(specs)
+    codes_np = np.asarray(codes)[:n_real]
+    assert n_real == len(ids)
+
+    # single-chip oracle: per-piece quantized embed with truncated starts
+    embed = windows.make_spec_embedder_q(params, cfg)
+    want_codes, want_ids = [], []
+    for i, s in enumerate(specs):
+        st = windows.stride_starts(s.shape[1], ctx, ctx // 4)
+        payload, scale = windows.spec_quantize(s, bits=16)
+        want_codes.append(np.asarray(embed(jnp.asarray(payload), scale,
+                                           jnp.asarray(st))))
+        want_ids.append(np.full(len(st), i, np.int64))
+    want_codes = np.concatenate(want_codes)
+    want_ids = np.concatenate(want_ids)
+
+    real = ids != n_pieces
+    # 1-ulp drift allowed: the shard_map/lax.map program fuses differently
+    # from the standalone embedder (same tolerance as the sheet build test)
+    np.testing.assert_allclose(codes_np[real], want_codes, atol=2e-5)
+    np.testing.assert_array_equal(ids[real], want_ids)
+    assert np.abs(codes_np[~real]).max() == 0.0
+
+    # the u8 spec-rANS wire build decodes bit-exactly: == uncoded u8
+    u8_codes, u8_ids, u8_n = pg.build_sharded_audio_gallery(
+        mesh8, params, cfg, specs, quantize=8)
+    c_codes, c_ids, c_n = pg.build_sharded_audio_gallery(
+        mesh8, params, cfg, specs, quantize=8, coded=True)
+    assert (u8_n, list(u8_ids)) == (c_n, list(c_ids))
+    np.testing.assert_array_equal(np.asarray(c_codes),
+                                  np.asarray(u8_codes))
+    with pytest.raises(ValueError):
+        pg.build_sharded_audio_gallery(mesh8, params, cfg, specs,
+                                       quantize=16, coded=True)
+
+
+def test_sharded_sheet_query_matches_single_chip(mesh8):
+    """Pod-scale sheet->audio mirror query (make_sharded_sheet_query): a
+    strip query over the rle2 wire against the SHARDED audio gallery must
+    produce vote counts identical to the single-chip fused sheet query
+    (make_fused_sheet_query) over the same gallery rows."""
+    import jax.numpy as jnp
+
+    from audio_sheet_retrieval_tpu.models import cca_model
+    from audio_sheet_retrieval_tpu.models.configs import get_model_config
+    from audio_sheet_retrieval_tpu.ops import windows
+    from audio_sheet_retrieval_tpu.retrieval.gallery import (
+        DeviceGallery,
+        make_fused_sheet_query,
+    )
+
+    cfg = get_model_config("mutopia_ccal_cont_rsz", num_filters=4,
+                           dim_latent=8)
+    params = cca_model.init_model(jax.random.PRNGKey(7), cfg)
+    params = params._replace(cca=params.cca._replace(
+        U=jnp.eye(cfg.dim_latent), V=jnp.eye(cfg.dim_latent)))
+    rng = np.random.default_rng(23)
+    lengths = [260, 140, 200, 331, 180]
+    specs = [(rng.random((92, t)) * 4).astype(np.float32) for t in lengths]
+    codes, ids, n_real = pg.build_sharded_audio_gallery(
+        mesh8, params, cfg, specs, quantize=16)
+    n_pieces = len(specs)
+
+    # sheet query strip over the lossless rle2 wire
+    H, W = 200, 900
+    strip = np.full((H, W), 255, np.uint8)
+    for x in rng.integers(0, W - 10, 40):
+        strip[rng.integers(20, H - 40):, x:x + 5][:12] = 0
+    bm2, vals2, values = windows.rle_bitmap2_encode_strip(strip)
+    qstarts = jnp.asarray(
+        windows.linspace_starts(W, cfg.input_shape_1[2], 12))
+
+    sharded = pg.make_sharded_sheet_query(
+        mesh8, params, cfg, codes, ids, n_pieces, n_candidates=7,
+        coding="rle_bitmap2", strip_shape=(H, W), n_real=n_real)
+    got = np.asarray(sharded(jnp.asarray(bm2), jnp.asarray(vals2),
+                             jnp.asarray(values), qstarts))
+
+    # single-chip oracle over the REAL gallery rows (overflow-bin rows
+    # dropped — the sharded path masks them in-kernel)
+    real = ids != n_pieces
+    gal_np = np.asarray(codes)[:n_real]
+    single = make_fused_sheet_query(
+        params, cfg, DeviceGallery(gal_np[real], ids=ids[real]), n_pieces,
+        n_candidates=7, coding="rle_bitmap2", strip_shape=(H, W))
+    want = np.asarray(single(jnp.asarray(bm2), jnp.asarray(vals2),
+                             jnp.asarray(values), qstarts))
+    np.testing.assert_array_equal(got, want)
+    assert int(got.sum()) == 12 * 7  # every query window votes k times
