@@ -38,21 +38,43 @@ def _quantize_page(img_01: np.ndarray) -> np.ndarray:
 _U16 = 65535.0  # wire quantization: page up + prob map down ride as u16
 # codes (error 7.6e-6, far below the network's own noise floor) — the
 # f32 round trip of a padded page was ~12.6 MB and dominated per-page
-# latency on tunneled hosts (measured: U-Net 88 ms vs 401 ms total)
+# latency on tunneled hosts (measured: U-Net 88 ms vs 401 ms total).
+# Late round 4 cut the wire further (lossless, bit-identical maps):
+#   * the padded page's u16 byte planes upload rANS-coded
+#     (ops/rans.py; engraving measures ~0.2 B/px per plane vs 2.0
+#     raw u16, and a u8-origin page quantizes to orig*257 — lo == hi
+#     exactly — so ONE plane ships with a reuse flag);
+#   * the blended map is cropped to the page ON DEVICE before the
+#     download (the padding margins were ~37% of the map bytes);
+#   * the encoded page payload is cached per page content, so the 3
+#     detector nets of the UMC/tutorial flows encode once.
+# ``map_bits=8`` additionally halves the map download (gated by the
+# detection-equality test, tests/test_omr.py; 16 = strict default).
 
 
-@functools.partial(jax.jit, static_argnames=("tile_h", "tile_w", "out_h",
-                                             "out_w", "compute_dtype",
-                                             "conv_precision"))
-def _tiled_predict(params, image_u16: jnp.ndarray, row0: jnp.ndarray,
-                   col0: jnp.ndarray, ham2d: jnp.ndarray,
-                   tile_h: int, tile_w: int, out_h: int, out_w: int,
-                   compute_dtype: str = "float32",
-                   conv_precision: str = "highest"):
-    """image_u16 [H, W] u16-quantized [0,1] page (padded); (row0, col0)
-    tile corner lists. Returns the blended probability map as u16 codes."""
+@functools.partial(jax.jit, static_argnames=(
+    "n_px", "plane_reuse", "tile_h", "tile_w", "out_h", "out_w", "crop",
+    "map_bits", "compute_dtype", "conv_precision"))
+def _tiled_predict_coded(params, freqs, states, words, n_px: int,
+                         plane_reuse: bool, row0: jnp.ndarray,
+                         col0: jnp.ndarray, ham2d: jnp.ndarray,
+                         tile_h: int, tile_w: int, out_h: int, out_w: int,
+                         crop, map_bits: int = 16,
+                         compute_dtype: str = "float32",
+                         conv_precision: str = "highest"):
+    """rANS-coded u16 byte planes of the padded page -> blended
+    probability map codes, cropped on device to ``crop`` = (top, left,
+    page_h, page_w). ``plane_reuse``: the payload carries one plane used
+    for both bytes (u8-origin pages)."""
+    from audio_sheet_retrieval_tpu.ops import rans
+
+    planes = rans.rans_decode_batch_device(freqs, states, words, n_px)
+    lo = planes[0].astype(jnp.uint16)
+    hi = (planes[0] if plane_reuse else planes[1]).astype(jnp.uint16)
+    image = ((hi << 8) | lo).reshape(out_h, out_w).astype(jnp.float32) \
+        * (1.0 / _U16)
+
     n_tiles = row0.shape[0]
-    image = image_u16.astype(jnp.float32) * (1.0 / _U16)
 
     def gather(i):
         return jax.lax.dynamic_slice(image, (row0[i], col0[i]),
@@ -80,7 +102,36 @@ def _tiled_predict(params, image_u16: jnp.ndarray, row0: jnp.ndarray,
         return R, V
 
     R, V = jax.lax.fori_loop(0, n_tiles, body, (R, V))
-    return jnp.round(jnp.clip(R / V, 0.0, 1.0) * _U16).astype(jnp.uint16)
+    top, left, page_h, page_w = crop
+    blended = jax.lax.dynamic_slice(R / V, (top, left), (page_h, page_w))
+    maxcode = float((1 << map_bits) - 1)
+    codes = jnp.round(jnp.clip(blended, 0.0, 1.0) * maxcode)
+    return codes.astype(jnp.uint8 if map_bits == 8 else jnp.uint16)
+
+
+_page_wire_cache: dict = {}  # content-key -> encoded page payload
+
+
+def _encode_page_wire(padded_u16: np.ndarray):
+    """(freqs, states, words, n_px, plane_reuse) for the padded page's
+    u16 byte planes, rANS-coded and cached per page content (the UMC and
+    tutorial flows run 3 detector nets over ONE page)."""
+    from audio_sheet_retrieval_tpu.ops import rans
+
+    key = (padded_u16.shape, hash(padded_u16.tobytes()))
+    hit = _page_wire_cache.get(key)
+    if hit is not None:
+        return hit
+    lo = (padded_u16 & 0xFF).astype(np.uint8).ravel()
+    hi = (padded_u16 >> 8).astype(np.uint8).ravel()
+    plane_reuse = bool(np.array_equal(lo, hi))
+    planes = [lo] if plane_reuse else [lo, hi]
+    freqs, states, words, _ = rans.rans_encode_batch(planes)
+    out = (freqs, states, words, int(lo.size), plane_reuse)
+    if len(_page_wire_cache) > 8:
+        _page_wire_cache.clear()
+    _page_wire_cache[key] = out
+    return out
 
 
 class SegmentationNetwork:
@@ -93,11 +144,13 @@ class SegmentationNetwork:
 
     def __init__(self, params, input_shape: Tuple[int, int] = (512, 512),
                  compute_dtype: str = "float32",
-                 conv_precision: str = "highest"):
+                 conv_precision: str = "highest", map_bits: int = 16):
+        assert map_bits in (8, 16), map_bits
         self.params = params
         self.input_shape = tuple(input_shape)
         self.compute_dtype = compute_dtype
         self.conv_precision = conv_precision
+        self.map_bits = map_bits
 
         @jax.jit
         def _direct(p, x_u16):
@@ -112,10 +165,10 @@ class SegmentationNetwork:
     @classmethod
     def load(cls, path: str, input_shape: Tuple[int, int] = (512, 512),
              compute_dtype: str = "float32",
-             conv_precision: str = "highest"):
+             conv_precision: str = "highest", map_bits: int = 16):
         return cls(unet.load_unet_checkpoint(path), input_shape,
                    compute_dtype=compute_dtype,
-                   conv_precision=conv_precision)
+                   conv_precision=conv_precision, map_bits=map_bits)
 
     def predict_proba(self, image: np.ndarray, squeeze: bool = True,
                       overlap: float = 0.5) -> np.ndarray:
@@ -160,13 +213,16 @@ class SegmentationNetwork:
         ham2d = np.sqrt(np.outer(np.hamming(sh), np.hamming(sw))
                         ).astype(np.float32)
 
-        blended = _tiled_predict(
-            self.params, jnp.asarray(_quantize_page(padded)),
+        freqs, states, words, n_px, plane_reuse = _encode_page_wire(
+            _quantize_page(padded))
+        blended = _tiled_predict_coded(
+            self.params, jnp.asarray(freqs), jnp.asarray(states),
+            jnp.asarray(words), n_px, plane_reuse,
             jnp.asarray(rr.ravel()), jnp.asarray(cc.ravel()),
             jnp.asarray(ham2d), sh, sw,
             int(padded.shape[0]), int(padded.shape[1]),
+            (pad_top, pad_left, h, w), map_bits=self.map_bits,
             compute_dtype=self.compute_dtype,
             conv_precision=self.conv_precision)
-        out = np.asarray(blended).astype(np.float32) / _U16
-        return out[pad_top:padded.shape[0] - pad_bottom,
-                   pad_left:padded.shape[1] - pad_right]
+        return np.asarray(blended).astype(np.float32) \
+            / float((1 << self.map_bits) - 1)

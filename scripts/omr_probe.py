@@ -10,8 +10,9 @@ methodology the retrieval encoders got, models/configs.py conv_precision).
 Two timings per arm:
   * device compute+dispatch — tiles pre-staged on device, only a 1-element
     download forces completion (the number a locally-attached chip sees);
-  * end-to-end predict_proba — includes the u16 page upload + u16 map
-    download (tunnel-wire-dependent on this host).
+  * end-to-end predict_proba — includes the page upload (rANS-coded u16
+    byte planes since late round 4, ~0.2 MB/page) + the device-cropped
+    u16 map download (tunnel-wire-dependent on this host).
 
 Gates (VERDICT r3 #3): f32-high must produce BIT-IDENTICAL systems, bars
 and noteheads vs f32-highest on the real page AND on contrast/scale

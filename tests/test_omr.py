@@ -95,6 +95,47 @@ def test_sliding_window_larger_image_blends_smoothly():
     assert (out >= 0).all() and (out <= 1.0 + 1e-6).all()
 
 
+def test_coded_page_wire_roundtrip():
+    """The rANS-coded page upload decodes to the exact u16 quantized page:
+    u8-origin pages take the single-plane fast path (codes = orig*257 so
+    lo == hi), float pages ship both planes; the host payload cache hits
+    on identical content."""
+    from audio_sheet_retrieval_tpu.ops import rans
+
+    rng = np.random.default_rng(0)
+    u8_page = (rng.integers(0, 256, (64, 48)).astype(np.uint8)
+               .astype(np.float32) / 255.0)
+    float_page = rng.random((64, 48)).astype(np.float32)
+    for page, want_reuse in ((u8_page, True), (float_page, False)):
+        q = inference._quantize_page(page)
+        freqs, states, words, n_px, reuse = inference._encode_page_wire(q)
+        assert reuse is want_reuse
+        planes = np.asarray(rans.rans_decode_batch_device(
+            jnp.asarray(freqs), jnp.asarray(states), jnp.asarray(words),
+            n_px))
+        lo = planes[0].astype(np.uint16)
+        hi = (planes[0] if reuse else planes[1]).astype(np.uint16)
+        np.testing.assert_array_equal(((hi << 8) | lo).reshape(q.shape), q)
+    # cache: same content -> same payload object
+    q = inference._quantize_page(u8_page)
+    assert inference._encode_page_wire(q) is inference._encode_page_wire(
+        q.copy())
+
+
+def test_sliding_map_bits8_close_to_u16():
+    """map_bits=8 halves the map download; values differ from the u16
+    path by at most the quantization step (the detection-equality gate on
+    the real page is the slow test in this module)."""
+    params = _random_unet_params()
+    rng = np.random.default_rng(5)
+    img = rng.random((600, 700)).astype(np.float32)
+    p16 = inference.SegmentationNetwork(params).predict_proba(img)
+    p8 = inference.SegmentationNetwork(params,
+                                       map_bits=8).predict_proba(img)
+    assert p16.shape == p8.shape == img.shape
+    assert np.abs(p16 - p8).max() <= 0.5 / 255 + 0.5 / 65535 + 1e-7
+
+
 def test_otsu_bimodal():
     rng = np.random.default_rng(6)
     vals = np.concatenate([rng.normal(0.1, 0.02, 1000),
@@ -154,6 +195,33 @@ def test_real_system_detection_on_tutorial_page():
     assert (widths > 600).all()
     # top-to-bottom order
     assert (np.diff(systems[:, 0, 0]) > 0).all()
+
+
+@pytest.mark.skipif(not _assets.has_asset("omr_system.npz"),
+                    reason="vendored OMR assets missing")
+@pytest.mark.slow
+def test_map_bits8_detection_equality_gate_on_tutorial_page():
+    """The u8 map download (half the u16 wire) must leave systems and
+    bars detections on the real tutorial page identical to the u16
+    strict path — the same gate methodology as the precision ladder."""
+    import cv2
+
+    img = cv2.imread(PAGE, 0)
+    img = cv2.resize(img, (835, int(835 / img.shape[1] * img.shape[0])))
+    prep = inference.prepare_image(img)
+    got = {}
+    for bits in (16, 8):
+        sysnet = inference.SegmentationNetwork.load(
+            _resolve_omr(OMR_DIR, "system"), map_bits=bits)
+        barnet = inference.SegmentationNetwork.load(
+            _resolve_omr(OMR_DIR, "bar"), map_bits=bits)
+        omr = detectors.OpticalMusicRecognizer(system_detector=sysnet,
+                                               bar_detector=barnet)
+        systems = omr.detect_systems(prep)
+        bars = omr.detect_bars(prep, systems=systems)
+        got[bits] = (systems, bars)
+    np.testing.assert_array_equal(got[8][0], got[16][0])
+    np.testing.assert_array_equal(got[8][1], got[16][1])
 
 
 @pytest.mark.skipif(not _assets.has_asset("omr_system.npz"), reason="vendored OMR assets missing")
