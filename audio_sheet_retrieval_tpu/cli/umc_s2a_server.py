@@ -55,6 +55,11 @@ def main(argv=None):
     parser.add_argument("--exp_root", type=str, default=None)
     parser.add_argument("--param_file", type=str, default=None)
     parser.add_argument("--omr_models", type=str, default=umc.DEFAULT_OMR_DIR)
+    parser.add_argument("--omr_map_bits", type=int, default=16,
+                        choices=(8, 16),
+                        help="probability-map download precision: 8 "
+                        "halves the OMR wire (detection-equality "
+                        "gated, tests/test_omr.py); 16 = strict")
     parser.add_argument("--db_file", type=str, default="umc_audio_db_file.pkl")
     parser.add_argument("--device_db", action="store_true",
                         help="device-resident DB build (spectrograms "
@@ -67,7 +72,8 @@ def main(argv=None):
 
     te_pieces, piece_paths, unwrapped_sheets = umc.load_umc_sheets(
         args.data_dir, require_performance=True,
-        omr=umc.make_omr(args.omr_models))
+        omr=umc.make_omr(args.omr_models,
+                 map_bits=args.omr_map_bits))
     dset = os.path.basename(args.data_dir.rstrip("/"))
 
     print("Loading spectrograms ...")

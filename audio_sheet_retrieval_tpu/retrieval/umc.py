@@ -42,14 +42,17 @@ def resolve_omr_weights(omr_model_dir: str, kind: str) -> str:
         f"in {omr_model_dir}")
 
 
-def make_omr(omr_model_dir: str = DEFAULT_OMR_DIR):
+def make_omr(omr_model_dir: str = DEFAULT_OMR_DIR, *, map_bits: int = 16):
+    """``map_bits=8`` halves the probability-map download (gated by the
+    detection-equality test on the real page, tests/test_omr.py; 16 is
+    the strict default — omr/inference.py)."""
     from audio_sheet_retrieval_tpu.omr.detectors import OpticalMusicRecognizer
     from audio_sheet_retrieval_tpu.omr.inference import SegmentationNetwork
 
     system_net = SegmentationNetwork.load(
-        resolve_omr_weights(omr_model_dir, "system"))
+        resolve_omr_weights(omr_model_dir, "system"), map_bits=map_bits)
     bar_net = SegmentationNetwork.load(
-        resolve_omr_weights(omr_model_dir, "bar"))
+        resolve_omr_weights(omr_model_dir, "bar"), map_bits=map_bits)
     return OpticalMusicRecognizer(system_detector=system_net,
                                   bar_detector=bar_net)
 

@@ -70,6 +70,12 @@ Env knobs:
                     int16: raw
   ASR_BENCH_MULAW   legacy alias: 1 -> mulaw, 0 -> int16 (when
                     ASR_BENCH_AUDIO unset)
+  ASR_BENCH_AUDIO_CONTENT  noise (default) | real: tile the vendored
+                    tutorial recording per piece instead of white noise.
+                    Noise is the audio entropy coder's worst case; real
+                    engages specrans' time-delta arm (0.56 B/B measured
+                    vs noise's 0.87). Default stays noise for
+                    round-over-round comparability
 
 The host-side payload encodings (bitmap-RLE, spec DSP + quantization) run
 once per piece OUTSIDE the timed loop, matching the serving deployment
@@ -306,8 +312,27 @@ def main():
             win.rans_encode_corpus_strips(raw_strips)
             sheet_encode_s = min(sheet_encode_s,
                                  time.perf_counter() - t_re)
-    audios = [(rng.standard_normal(n_samples) * 3000).astype(np.int16)
-              for _ in range(n_pieces)]
+    if os.environ.get("ASR_BENCH_AUDIO_CONTENT", "noise") == "real":
+        # opt-in: tile the vendored tutorial recording (phase-rolled per
+        # piece) instead of white noise. Noise is the entropy coder's
+        # WORST case — real music is time-smooth, so specrans' delta arm
+        # engages here (0.56 B/B measured vs noise's 0.87); the default
+        # stays noise for round-over-round comparability
+        from audio_sheet_retrieval_tpu import assets
+        from audio_sheet_retrieval_tpu.utils.audio_io import read_audio
+
+        wav, wav_sr = read_audio(assets.tutorial_audio_path())
+        wav = np.asarray(wav)
+        if wav.ndim == 2:
+            wav = wav.mean(1).astype(np.int16)
+        assert wav_sr == sr, (wav_sr, sr)
+        reps = int(np.ceil(n_samples / wav.size))
+        tiled_wav = np.tile(wav, reps)[:n_samples]
+        audios = [np.roll(tiled_wav, int(rng.integers(0, n_samples)))
+                  for _ in range(n_pieces)]
+    else:
+        audios = [(rng.standard_normal(n_samples) * 3000).astype(np.int16)
+                  for _ in range(n_pieces)]
     raw_audios = audios
     audio_encode_s = 0.0
     if spec_upload:
