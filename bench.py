@@ -325,7 +325,9 @@ def main():
         wav = np.asarray(wav)
         if wav.ndim == 2:
             wav = wav.mean(1).astype(np.int16)
-        assert wav_sr == sr, (wav_sr, sr)
+        if wav_sr != sr:  # the tutorial mp3 is 44.1 kHz
+            from audio_sheet_retrieval_tpu.ops.audio import resample
+            wav = np.asarray(resample(wav, wav_sr, sr), np.int16)
         reps = int(np.ceil(n_samples / wav.size))
         tiled_wav = np.tile(wav, reps)[:n_samples]
         audios = [np.roll(tiled_wav, int(rng.integers(0, n_samples)))
