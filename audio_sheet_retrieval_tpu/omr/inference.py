@@ -115,10 +115,18 @@ _page_wire_cache: dict = {}  # content-key -> encoded page payload
 def _encode_page_wire(padded_u16: np.ndarray):
     """(freqs, states, words, n_px, plane_reuse) for the padded page's
     u16 byte planes, rANS-coded and cached per page content (the UMC and
-    tutorial flows run 3 detector nets over ONE page)."""
+    tutorial flows run 3 detector nets over ONE page). The cache keys on
+    a blake2b digest — a 64-bit ``hash()`` collision would silently serve
+    another page's payload. Word rows are zero-padded to a power-of-two
+    bucket: the words array is a TRACED jit input, so without bucketing
+    every distinct page content would recompile the whole tiled U-Net
+    program (padding is never read — consumption is state-driven)."""
+    import hashlib
+
     from audio_sheet_retrieval_tpu.ops import rans
 
-    key = (padded_u16.shape, hash(padded_u16.tobytes()))
+    key = (padded_u16.shape,
+           hashlib.blake2b(padded_u16.tobytes(), digest_size=16).digest())
     hit = _page_wire_cache.get(key)
     if hit is not None:
         return hit
@@ -127,6 +135,9 @@ def _encode_page_wire(padded_u16: np.ndarray):
     plane_reuse = bool(np.array_equal(lo, hi))
     planes = [lo] if plane_reuse else [lo, hi]
     freqs, states, words, _ = rans.rans_encode_batch(planes)
+    step = 16384  # <=32 kB padding; similar pages share one bucket
+    bucket = max(step, int(np.ceil(words.shape[1] / step)) * step)
+    words = np.pad(words, ((0, 0), (0, bucket - words.shape[1])))
     out = (freqs, states, words, int(lo.size), plane_reuse)
     if len(_page_wire_cache) > 8:
         _page_wire_cache.clear()

@@ -204,7 +204,13 @@ def _native_lib() -> Optional[ctypes.CDLL]:
     if _native is not None or _native_failed:
         return _native
     try:
-        if not os.path.exists(_NATIVE_LIB_PATH):
+        src = os.path.join(os.path.dirname(_NATIVE_LIB_PATH),
+                           "rans_encode.cpp")
+        stale = (not os.path.exists(_NATIVE_LIB_PATH)
+                 or (os.path.exists(src)
+                     and os.path.getmtime(src)
+                     > os.path.getmtime(_NATIVE_LIB_PATH)))
+        if stale:  # also rebuilds when the source outruns a vendored .so
             build_py = os.path.join(os.path.dirname(_NATIVE_LIB_PATH),
                                     "build.py")
             spec = importlib.util.spec_from_file_location(

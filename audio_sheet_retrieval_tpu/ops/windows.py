@@ -741,12 +741,22 @@ def spec_rans_encode_corpus(specs):
             np.asarray(scales, np.float32), (bins, T), piece_bytes)
 
 
+def spec_undelta_device(codes: jnp.ndarray,
+                        flags: jnp.ndarray) -> jnp.ndarray:
+    """Invert the spec-rANS wire's per-piece mod-256 time delta:
+    ``codes`` [P, bins, T] u8, ``flags`` [P] (1 = delta-coded). The
+    uint32 cumsum + truncating cast is exact because the deltas were
+    taken mod 256. Shared by the corpus decoder below and the sharded
+    audio-DB build (parallel/gallery.py) — ONE home for the invariant."""
+    undelta = jnp.cumsum(codes.astype(jnp.uint32), axis=2).astype(jnp.uint8)
+    return jnp.where(flags[:, None, None] != 0, undelta, codes)
+
+
 def make_corpus_spec_rans_decoder(shape):
     """One-dispatch device decode of spec_rans_encode_corpus payloads ->
     uint8 codes [P, bins, T] (the exact quantized input of
-    make_spec_embedder_batched). Delta-coded pieces are inverted by a
-    time-axis cumsum taken mod 256 (uint32 accumulate, truncating cast;
-    exact because the deltas were taken mod 256)."""
+    make_spec_embedder_batched). Delta-coded pieces are inverted by
+    spec_undelta_device."""
     from audio_sheet_retrieval_tpu.ops import rans
 
     bins, T = (int(x) for x in shape)
@@ -755,10 +765,7 @@ def make_corpus_spec_rans_decoder(shape):
     @jax.jit
     def decode(freqs, states, words, flags):
         codes = rans.rans_decode_batch_device(freqs, states, words, n)
-        codes = codes.reshape(-1, bins, T)
-        undelta = jnp.cumsum(codes.astype(jnp.uint32),
-                             axis=2).astype(jnp.uint8)
-        return jnp.where(flags[:, None, None] != 0, undelta, codes)
+        return spec_undelta_device(codes.reshape(-1, bins, T), flags)
 
     def run(payload, flags):
         f, s, w = payload

@@ -517,10 +517,8 @@ def build_sharded_audio_gallery(mesh: Mesh, params, cfg, specs, *,
         def local_build(p_, f_, s_, w_, flags_, scales_, starts_,
                         valid_local):
             codes = rans.rans_decode_batch_device(f_, s_, w_, n_codes)
-            codes = codes.reshape(-1, bins, T)
-            undelta = jnp.cumsum(codes.astype(jnp.uint32),
-                                 axis=2).astype(jnp.uint8)
-            codes = jnp.where(flags_[:, None, None] != 0, undelta, codes)
+            codes = win.spec_undelta_device(codes.reshape(-1, bins, T),
+                                            flags_)
             out = jax.lax.map(embed_one_fn(p_, starts_),
                               (codes, scales_, valid_local))
             return out.reshape(-1, out.shape[-1])

@@ -57,8 +57,9 @@ def page_variants(img: np.ndarray):
 
 
 def stage_tiles(prep: np.ndarray, input_shape):
-    """Host-side tile geometry for the device-compute timing path
-    (mirrors SegmentationNetwork._sliding)."""
+    """Host-side tile geometry + pre-staged coded page for the
+    device-compute timing path (mirrors SegmentationNetwork._sliding;
+    the rANS page decode is device work and is part of the timing)."""
     import jax.numpy as jnp
 
     from audio_sheet_retrieval_tpu.omr import inference
@@ -67,16 +68,19 @@ def stage_tiles(prep: np.ndarray, input_shape):
     sh, sw = input_shape
     mh = int(sh * np.ceil(h / sh) - h)
     mw = int(sw * np.ceil(w / sw) - w)
-    padded = np.pad(prep, ((mh // 2, mh - mh // 2), (mw // 2, mw - mw // 2)))
+    pad_top, pad_left = mh // 2, mw // 2
+    padded = np.pad(prep, ((pad_top, mh - pad_top), (pad_left, mw - pad_left)))
     step = sh // 2
     row0 = np.arange(0, padded.shape[0] - sh + 1, step, np.int32)
     col0 = np.arange(0, padded.shape[1] - sw + 1, step, np.int32)
     rr, cc = np.meshgrid(row0, col0, indexing="ij")
     ham = np.sqrt(np.outer(np.hamming(sh), np.hamming(sw))).astype(np.float32)
-    args = (jnp.asarray(inference._quantize_page(padded)),
-            jnp.asarray(rr.ravel()), jnp.asarray(cc.ravel()),
-            jnp.asarray(ham))
-    return args, padded.shape, rr.size
+    freqs, states, words, n_px, plane_reuse = inference._encode_page_wire(
+        inference._quantize_page(padded))
+    args = (jnp.asarray(freqs), jnp.asarray(states), jnp.asarray(words),
+            n_px, plane_reuse, jnp.asarray(rr.ravel()),
+            jnp.asarray(cc.ravel()), jnp.asarray(ham))
+    return args, padded.shape, (pad_top, pad_left, h, w), rr.size
 
 
 def main(argv=None):
@@ -108,7 +112,7 @@ def main(argv=None):
     notep = inference.SegmentationNetwork.load(
         assets.omr_weights_path("note")).params
 
-    staged, padded_shape, n_tiles = stage_tiles(prep, (512, 512))
+    staged, padded_shape, crop, n_tiles = stage_tiles(prep, (512, 512))
 
     out = {}
     ref = None
@@ -118,9 +122,9 @@ def main(argv=None):
 
         # --- device compute+dispatch (tiny download forces completion) ---
         def run():
-            return inference._tiled_predict(
+            return inference._tiled_predict_coded(
                 sysp, *staged, 512, 512,
-                int(padded_shape[0]), int(padded_shape[1]),
+                int(padded_shape[0]), int(padded_shape[1]), crop,
                 compute_dtype=dtype, conv_precision=prec)
 
         r = run()
