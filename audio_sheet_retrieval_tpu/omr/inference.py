@@ -52,28 +52,13 @@ _U16 = 65535.0  # wire quantization: page up + prob map down ride as u16
 # detection-equality test, tests/test_omr.py; 16 = strict default).
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "n_px", "plane_reuse", "tile_h", "tile_w", "out_h", "out_w", "crop",
-    "map_bits", "compute_dtype", "conv_precision"))
-def _tiled_predict_coded(params, freqs, states, words, n_px: int,
-                         plane_reuse: bool, row0: jnp.ndarray,
-                         col0: jnp.ndarray, ham2d: jnp.ndarray,
-                         tile_h: int, tile_w: int, out_h: int, out_w: int,
-                         crop, map_bits: int = 16,
-                         compute_dtype: str = "float32",
-                         conv_precision: str = "highest"):
-    """rANS-coded u16 byte planes of the padded page -> blended
-    probability map codes, cropped on device to ``crop`` = (top, left,
-    page_h, page_w). ``plane_reuse``: the payload carries one plane used
-    for both bytes (u8-origin pages)."""
-    from audio_sheet_retrieval_tpu.ops import rans
-
-    planes = rans.rans_decode_batch_device(freqs, states, words, n_px)
-    lo = planes[0].astype(jnp.uint16)
-    hi = (planes[0] if plane_reuse else planes[1]).astype(jnp.uint16)
-    image = ((hi << 8) | lo).reshape(out_h, out_w).astype(jnp.float32) \
-        * (1.0 / _U16)
-
+def _tile_blend_body(params, image: jnp.ndarray, row0, col0, ham2d,
+                     tile_h: int, tile_w: int, out_h: int, out_w: int,
+                     crop, map_bits: int, compute_dtype: str,
+                     conv_precision: str):
+    """[out_h, out_w] float page -> blended probability-map codes,
+    cropped on device to ``crop`` = (top, left, page_h, page_w). Shared
+    by the raw-u16 and rANS-coded page entry points below."""
     n_tiles = row0.shape[0]
 
     def gather(i):
@@ -109,7 +94,51 @@ def _tiled_predict_coded(params, freqs, states, words, n_px: int,
     return codes.astype(jnp.uint8 if map_bits == 8 else jnp.uint16)
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "tile_h", "tile_w", "out_h", "out_w", "crop", "map_bits",
+    "compute_dtype", "conv_precision"))
+def _tiled_predict(params, image_u16: jnp.ndarray, row0, col0, ham2d,
+                   tile_h: int, tile_w: int, out_h: int, out_w: int,
+                   crop, map_bits: int = 16,
+                   compute_dtype: str = "float32",
+                   conv_precision: str = "highest"):
+    """Raw-u16 page wire (``page_wire='raw'``): the local-attached arm —
+    no decode on the device path, 2 B/px upload."""
+    image = image_u16.astype(jnp.float32) * (1.0 / _U16)
+    return _tile_blend_body(params, image, row0, col0, ham2d, tile_h,
+                            tile_w, out_h, out_w, crop, map_bits,
+                            compute_dtype, conv_precision)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_px", "plane_reuse", "tile_h", "tile_w", "out_h", "out_w", "crop",
+    "map_bits", "compute_dtype", "conv_precision"))
+def _tiled_predict_coded(params, freqs, states, words, n_px: int,
+                         plane_reuse: bool, row0: jnp.ndarray,
+                         col0: jnp.ndarray, ham2d: jnp.ndarray,
+                         tile_h: int, tile_w: int, out_h: int, out_w: int,
+                         crop, map_bits: int = 16,
+                         compute_dtype: str = "float32",
+                         conv_precision: str = "highest"):
+    """rANS-coded u16 byte planes of the padded page (``page_wire='rans'``,
+    the tunneled-wire arm, ~0.2 MB/page). ``plane_reuse``: the payload
+    carries one plane used for both bytes (u8-origin pages)."""
+    from audio_sheet_retrieval_tpu.ops import rans
+
+    c = -(-n_px // _PAGE_CHUNKS)
+    segs = rans.rans_decode_batch_device(freqs, states, words, c)
+    planes = segs.reshape(-1, _PAGE_CHUNKS * c)[:, :n_px]
+    lo = planes[0].astype(jnp.uint16)
+    hi = (planes[0] if plane_reuse else planes[1]).astype(jnp.uint16)
+    image = ((hi << 8) | lo).reshape(out_h, out_w).astype(jnp.float32) \
+        * (1.0 / _U16)
+    return _tile_blend_body(params, image, row0, col0, ham2d, tile_h,
+                            tile_w, out_h, out_w, crop, map_bits,
+                            compute_dtype, conv_precision)
+
+
 _page_wire_cache: dict = {}  # content-key -> encoded page payload
+_PAGE_CHUNKS = 8  # per-plane decode segments (see _encode_page_wire)
 
 
 def _encode_page_wire(padded_u16: np.ndarray):
@@ -133,12 +162,20 @@ def _encode_page_wire(padded_u16: np.ndarray):
     lo = (padded_u16 & 0xFF).astype(np.uint8).ravel()
     hi = (padded_u16 >> 8).astype(np.uint8).ravel()
     plane_reuse = bool(np.array_equal(lo, hi))
+    # each plane splits into _PAGE_CHUNKS segments so the device decode
+    # batches its scan lanes: a single-payload page decode pays the
+    # scan's fixed per-step cost alone (~27 ms measured); 8 chunks cut
+    # the steps 4x for ~16-32 kB of extra state headers
+    n_plane = lo.size
+    c = -(-n_plane // _PAGE_CHUNKS)
     planes = [lo] if plane_reuse else [lo, hi]
-    freqs, states, words, _ = rans.rans_encode_batch(planes)
+    segs = [np.pad(p, (0, c * _PAGE_CHUNKS - n_plane)).reshape(
+        _PAGE_CHUNKS, c)[i] for p in planes for i in range(_PAGE_CHUNKS)]
+    freqs, states, words, _ = rans.rans_encode_batch(segs)
     step = 16384  # <=32 kB padding; similar pages share one bucket
     bucket = max(step, int(np.ceil(words.shape[1] / step)) * step)
     words = np.pad(words, ((0, 0), (0, bucket - words.shape[1])))
-    out = (freqs, states, words, int(lo.size), plane_reuse)
+    out = (freqs, states, words, int(n_plane), plane_reuse)
     if len(_page_wire_cache) > 8:
         _page_wire_cache.clear()
     _page_wire_cache[key] = out
@@ -155,13 +192,17 @@ class SegmentationNetwork:
 
     def __init__(self, params, input_shape: Tuple[int, int] = (512, 512),
                  compute_dtype: str = "float32",
-                 conv_precision: str = "highest", map_bits: int = 16):
+                 conv_precision: str = "highest", map_bits: int = 16,
+                 page_wire: str = "rans"):
         assert map_bits in (8, 16), map_bits
+        assert page_wire in ("rans", "raw"), page_wire
         self.params = params
         self.input_shape = tuple(input_shape)
         self.compute_dtype = compute_dtype
         self.conv_precision = conv_precision
         self.map_bits = map_bits
+        self.page_wire = page_wire  # 'raw' = local-attached arm (no
+        # device decode, 2 B/px upload); 'rans' = tunneled-wire arm
 
         @jax.jit
         def _direct(p, x_u16):
@@ -176,10 +217,12 @@ class SegmentationNetwork:
     @classmethod
     def load(cls, path: str, input_shape: Tuple[int, int] = (512, 512),
              compute_dtype: str = "float32",
-             conv_precision: str = "highest", map_bits: int = 16):
+             conv_precision: str = "highest", map_bits: int = 16,
+             page_wire: str = "rans"):
         return cls(unet.load_unet_checkpoint(path), input_shape,
                    compute_dtype=compute_dtype,
-                   conv_precision=conv_precision, map_bits=map_bits)
+                   conv_precision=conv_precision, map_bits=map_bits,
+                   page_wire=page_wire)
 
     def predict_proba(self, image: np.ndarray, squeeze: bool = True,
                       overlap: float = 0.5) -> np.ndarray:
@@ -224,16 +267,26 @@ class SegmentationNetwork:
         ham2d = np.sqrt(np.outer(np.hamming(sh), np.hamming(sw))
                         ).astype(np.float32)
 
-        freqs, states, words, n_px, plane_reuse = _encode_page_wire(
-            _quantize_page(padded))
-        blended = _tiled_predict_coded(
-            self.params, jnp.asarray(freqs), jnp.asarray(states),
-            jnp.asarray(words), n_px, plane_reuse,
-            jnp.asarray(rr.ravel()), jnp.asarray(cc.ravel()),
-            jnp.asarray(ham2d), sh, sw,
-            int(padded.shape[0]), int(padded.shape[1]),
-            (pad_top, pad_left, h, w), map_bits=self.map_bits,
-            compute_dtype=self.compute_dtype,
-            conv_precision=self.conv_precision)
+        if self.page_wire == "raw":
+            blended = _tiled_predict(
+                self.params, jnp.asarray(_quantize_page(padded)),
+                jnp.asarray(rr.ravel()), jnp.asarray(cc.ravel()),
+                jnp.asarray(ham2d), sh, sw,
+                int(padded.shape[0]), int(padded.shape[1]),
+                (pad_top, pad_left, h, w), map_bits=self.map_bits,
+                compute_dtype=self.compute_dtype,
+                conv_precision=self.conv_precision)
+        else:
+            freqs, states, words, n_px, plane_reuse = _encode_page_wire(
+                _quantize_page(padded))
+            blended = _tiled_predict_coded(
+                self.params, jnp.asarray(freqs), jnp.asarray(states),
+                jnp.asarray(words), n_px, plane_reuse,
+                jnp.asarray(rr.ravel()), jnp.asarray(cc.ravel()),
+                jnp.asarray(ham2d), sh, sw,
+                int(padded.shape[0]), int(padded.shape[1]),
+                (pad_top, pad_left, h, w), map_bits=self.map_bits,
+                compute_dtype=self.compute_dtype,
+                conv_precision=self.conv_precision)
         return np.asarray(blended).astype(np.float32) \
             / float((1 << self.map_bits) - 1)

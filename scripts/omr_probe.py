@@ -57,9 +57,10 @@ def page_variants(img: np.ndarray):
 
 
 def stage_tiles(prep: np.ndarray, input_shape):
-    """Host-side tile geometry + pre-staged coded page for the
-    device-compute timing path (mirrors SegmentationNetwork._sliding;
-    the rANS page decode is device work and is part of the timing)."""
+    """Host-side tile geometry + pre-staged RAW u16 page for the
+    device-compute timing path (mirrors SegmentationNetwork._sliding
+    with page_wire='raw' — the number a local-attached chip sees, no
+    wire decode; the e2e timing below uses the default rANS wire)."""
     import jax.numpy as jnp
 
     from audio_sheet_retrieval_tpu.omr import inference
@@ -75,11 +76,9 @@ def stage_tiles(prep: np.ndarray, input_shape):
     col0 = np.arange(0, padded.shape[1] - sw + 1, step, np.int32)
     rr, cc = np.meshgrid(row0, col0, indexing="ij")
     ham = np.sqrt(np.outer(np.hamming(sh), np.hamming(sw))).astype(np.float32)
-    freqs, states, words, n_px, plane_reuse = inference._encode_page_wire(
-        inference._quantize_page(padded))
-    args = (jnp.asarray(freqs), jnp.asarray(states), jnp.asarray(words),
-            n_px, plane_reuse, jnp.asarray(rr.ravel()),
-            jnp.asarray(cc.ravel()), jnp.asarray(ham))
+    args = (jnp.asarray(inference._quantize_page(padded)),
+            jnp.asarray(rr.ravel()), jnp.asarray(cc.ravel()),
+            jnp.asarray(ham))
     return args, padded.shape, (pad_top, pad_left, h, w), rr.size
 
 
@@ -122,7 +121,7 @@ def main(argv=None):
 
         # --- device compute+dispatch (tiny download forces completion) ---
         def run():
-            return inference._tiled_predict_coded(
+            return inference._tiled_predict(
                 sysp, *staged, 512, 512,
                 int(padded_shape[0]), int(padded_shape[1]), crop,
                 compute_dtype=dtype, conv_precision=prec)

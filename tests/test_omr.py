@@ -110,9 +110,12 @@ def test_coded_page_wire_roundtrip():
         q = inference._quantize_page(page)
         freqs, states, words, n_px, reuse = inference._encode_page_wire(q)
         assert reuse is want_reuse
-        planes = np.asarray(rans.rans_decode_batch_device(
+        # payload layout: _PAGE_CHUNKS segments per plane (lo then hi)
+        c = -(-n_px // inference._PAGE_CHUNKS)
+        segs = np.asarray(rans.rans_decode_batch_device(
             jnp.asarray(freqs), jnp.asarray(states), jnp.asarray(words),
-            n_px))
+            c))
+        planes = segs.reshape(-1, inference._PAGE_CHUNKS * c)[:, :n_px]
         lo = planes[0].astype(np.uint16)
         hi = (planes[0] if reuse else planes[1]).astype(np.uint16)
         np.testing.assert_array_equal(((hi << 8) | lo).reshape(q.shape), q)
@@ -120,6 +123,19 @@ def test_coded_page_wire_roundtrip():
     q = inference._quantize_page(u8_page)
     assert inference._encode_page_wire(q) is inference._encode_page_wire(
         q.copy())
+
+
+def test_page_wire_raw_matches_rans():
+    """page_wire='raw' (local-attached arm, no device decode) and the
+    default rANS-coded wire are both lossless over the u16 page codes,
+    so their probability maps must be bit-identical."""
+    params = _random_unet_params()
+    rng = np.random.default_rng(9)
+    img = rng.random((600, 700)).astype(np.float32)
+    a = inference.SegmentationNetwork(params).predict_proba(img)
+    b = inference.SegmentationNetwork(params,
+                                      page_wire="raw").predict_proba(img)
+    np.testing.assert_array_equal(a, b)
 
 
 def test_sliding_map_bits8_close_to_u16():
