@@ -130,6 +130,42 @@ def test_batch_encoder_matches_per_payload():
         np.testing.assert_array_equal(words[i, :w1.size], w1)
 
 
+def test_rans_fuzz_roundtrip():
+    """Randomized roundtrip sweep: sizes around lane/step boundaries,
+    pathological distributions (constant, two-symbol, near-uniform,
+    heavy-skew), native and numpy encoders, host and device decoders.
+    The whole serving wire rides this coder — cheap paranoia."""
+    rng = np.random.default_rng(99)
+    lib = rans._native_lib()
+    for trial in range(30):
+        S = int(rng.choice([128, 256, 512, 2048]))
+        n = int(rng.choice([1, 2, S - 1, S, S + 1, 3 * S,
+                            int(rng.integers(1, 20_000))]))
+        kind = trial % 4
+        if kind == 0:
+            data = np.full(n, int(rng.integers(0, 256)), np.uint8)
+        elif kind == 1:
+            data = rng.choice([7, 201], n).astype(np.uint8)
+        elif kind == 2:
+            data = rng.integers(0, 256, n).astype(np.uint8)
+        else:
+            data = (rng.exponential(3, n) % 256).astype(np.uint8)
+        freqs = np.stack([rans.quantize_freqs(
+            np.bincount(data, minlength=256))])
+        encs = [rans._rans_encode_batch_numpy([data], freqs, S)]
+        if lib is not None:
+            encs.append(rans._rans_encode_batch_native(lib, [data], freqs,
+                                                       S))
+        for f, s, w, nw in encs:
+            np.testing.assert_array_equal(
+                rans.rans_decode_host(f[0], s[0], w[0], n), data,
+                err_msg=f"trial={trial} n={n} S={S} kind={kind}")
+            got = np.asarray(rans.rans_decode_batch_device(
+                jnp.asarray(f), jnp.asarray(s), jnp.asarray(w), n))[0]
+            np.testing.assert_array_equal(
+                got, data, err_msg=f"trial={trial} n={n} S={S} kind={kind}")
+
+
 def _engraving_like_strips(rng, n_pieces, h, w):
     # bilevel-ish staff-line content: long white runs + short black runs,
     # different per piece (the corpus coder must not share tables)
