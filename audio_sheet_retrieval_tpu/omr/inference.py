@@ -163,15 +163,21 @@ def _encode_page_wire(padded_u16: np.ndarray):
     hi = (padded_u16 >> 8).astype(np.uint8).ravel()
     plane_reuse = bool(np.array_equal(lo, hi))
     # each plane splits into _PAGE_CHUNKS segments so the device decode
-    # batches its scan lanes: a single-payload page decode pays the
-    # scan's fixed per-step cost alone (~27 ms measured); 8 chunks cut
-    # the steps 4x for ~16-32 kB of extra state headers
+    # batches its scan lanes. The lane count MUST be pinned to the
+    # whole-plane rate: auto_streams would shrink lanes 8x for the 8x
+    # smaller segments and leave the step count unchanged (the first
+    # chunking attempt was exactly that no-op). With full lanes per
+    # segment the scan runs _PAGE_CHUNKS x fewer steps (768 -> 96 on the
+    # tutorial page) for ~8 kB/segment of extra state headers.
     n_plane = lo.size
     c = -(-n_plane // _PAGE_CHUNKS)
     planes = [lo] if plane_reuse else [lo, hi]
-    segs = [np.pad(p, (0, c * _PAGE_CHUNKS - n_plane)).reshape(
-        _PAGE_CHUNKS, c)[i] for p in planes for i in range(_PAGE_CHUNKS)]
-    freqs, states, words, _ = rans.rans_encode_batch(segs)
+    segs = []
+    for p in planes:
+        segs.extend(np.pad(p, (0, c * _PAGE_CHUNKS - n_plane))
+                    .reshape(_PAGE_CHUNKS, c))
+    freqs, states, words, _ = rans.rans_encode_batch(
+        segs, n_streams=rans.auto_streams(n_plane))
     step = 16384  # <=32 kB padding; similar pages share one bucket
     bucket = max(step, int(np.ceil(words.shape[1] / step)) * step)
     words = np.pad(words, ((0, 0), (0, bucket - words.shape[1])))

@@ -106,7 +106,11 @@ def test_coded_page_wire_roundtrip():
     u8_page = (rng.integers(0, 256, (64, 48)).astype(np.uint8)
                .astype(np.float32) / 255.0)
     float_page = rng.random((64, 48)).astype(np.float32)
-    for page, want_reuse in ((u8_page, True), (float_page, False)):
+    # 63x47 = 2961 px: NOT divisible by _PAGE_CHUNKS — exercises the
+    # encoder's pad-to-c*chunks tail and the decoder's [:, :n_px] slice
+    ragged_page = rng.random((63, 47)).astype(np.float32)
+    for page, want_reuse in ((u8_page, True), (float_page, False),
+                             (ragged_page, False)):
         q = inference._quantize_page(page)
         freqs, states, words, n_px, reuse = inference._encode_page_wire(q)
         assert reuse is want_reuse
