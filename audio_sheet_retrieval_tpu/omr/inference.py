@@ -125,20 +125,36 @@ def _tiled_predict_coded(params, freqs, states, words, n_px: int,
     carries one plane used for both bytes (u8-origin pages)."""
     from audio_sheet_retrieval_tpu.ops import rans
 
+    # the payload codes the UNPADDED page (crop = (top, left, page_h,
+    # page_w)); the black sliding-window margins are reconstructed here.
+    # Coding the padded canvas was measured 70% larger: the 0-valued
+    # margins turn the symbol distribution bimodal and inflate every
+    # code, whereas a known-constant block costs nothing to rebuild.
+    top, left, page_h, page_w = crop
     c = -(-n_px // _PAGE_CHUNKS)
     segs = rans.rans_decode_batch_device(freqs, states, words, c)
-    planes = segs.reshape(-1, _PAGE_CHUNKS * c)[:, :n_px]
+    # segments are interleaved (segment j = plane bytes j::chunks):
+    # [planes*chunks, c] -> [planes, chunks, c] -> transpose -> ravel
+    planes = jnp.swapaxes(segs.reshape(-1, _PAGE_CHUNKS, c), 1, 2) \
+        .reshape(-1, _PAGE_CHUNKS * c)[:, :n_px]
     lo = planes[0].astype(jnp.uint16)
     hi = (planes[0] if plane_reuse else planes[1]).astype(jnp.uint16)
-    image = ((hi << 8) | lo).reshape(out_h, out_w).astype(jnp.float32) \
+    page = ((hi << 8) | lo).reshape(page_h, page_w).astype(jnp.float32) \
         * (1.0 / _U16)
+    image = jax.lax.dynamic_update_slice(
+        jnp.zeros((out_h, out_w), jnp.float32), page, (top, left))
     return _tile_blend_body(params, image, row0, col0, ham2d, tile_h,
                             tile_w, out_h, out_w, crop, map_bits,
                             compute_dtype, conv_precision)
 
 
 _page_wire_cache: dict = {}  # content-key -> encoded page payload
-_PAGE_CHUNKS = 8  # per-plane decode segments (see _encode_page_wire)
+_PAGE_CHUNKS = 4  # per-plane decode segments (see _encode_page_wire).
+# Full lanes per segment multiply the per-lane overhead (4 B state +
+# ~2 B initial-state waste) by the segment count, so chunking trades
+# wire for scan steps: on the tutorial page, 1 chunk = 0.21 MB/768
+# steps, 4 = 0.26 MB/192, 8 = 0.40 MB/96. At ~35 us/step and any link
+# speed from 10 to 40 MB/s, 4 minimizes (upload + decode) time.
 
 
 def _encode_page_wire(padded_u16: np.ndarray):
@@ -174,11 +190,15 @@ def _encode_page_wire(padded_u16: np.ndarray):
     planes = [lo] if plane_reuse else [lo, hi]
     segs = []
     for p in planes:
+        # INTERLEAVED split (segment j takes bytes j::chunks): contiguous
+        # row-chunks concentrate the engraving in a few segments (white
+        # margins in the rest), and the word stack pads every row to the
+        # densest segment's length — measured 0.59 MB vs 0.26 interleaved
         segs.extend(np.pad(p, (0, c * _PAGE_CHUNKS - n_plane))
-                    .reshape(_PAGE_CHUNKS, c))
+                    .reshape(c, _PAGE_CHUNKS).T)
     freqs, states, words, _ = rans.rans_encode_batch(
         segs, n_streams=rans.auto_streams(n_plane))
-    step = 16384  # <=32 kB padding; similar pages share one bucket
+    step = 4096  # <=8 kB padding/row; similar pages share one bucket
     bucket = max(step, int(np.ceil(words.shape[1] / step)) * step)
     words = np.pad(words, ((0, 0), (0, bucket - words.shape[1])))
     out = (freqs, states, words, int(n_plane), plane_reuse)
@@ -283,8 +303,10 @@ class SegmentationNetwork:
                 compute_dtype=self.compute_dtype,
                 conv_precision=self.conv_precision)
         else:
+            # encode the UNPADDED page; the decoder rebuilds the black
+            # margins on device (see _tiled_predict_coded)
             freqs, states, words, n_px, plane_reuse = _encode_page_wire(
-                _quantize_page(padded))
+                _quantize_page(img))
             blended = _tiled_predict_coded(
                 self.params, jnp.asarray(freqs), jnp.asarray(states),
                 jnp.asarray(words), n_px, plane_reuse,

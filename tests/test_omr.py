@@ -114,12 +114,15 @@ def test_coded_page_wire_roundtrip():
         q = inference._quantize_page(page)
         freqs, states, words, n_px, reuse = inference._encode_page_wire(q)
         assert reuse is want_reuse
-        # payload layout: _PAGE_CHUNKS segments per plane (lo then hi)
-        c = -(-n_px // inference._PAGE_CHUNKS)
+        # payload layout: _PAGE_CHUNKS INTERLEAVED segments per plane
+        # (lo then hi; segment j carries plane bytes j::chunks)
+        ch = inference._PAGE_CHUNKS
+        c = -(-n_px // ch)
         segs = np.asarray(rans.rans_decode_batch_device(
             jnp.asarray(freqs), jnp.asarray(states), jnp.asarray(words),
             c))
-        planes = segs.reshape(-1, inference._PAGE_CHUNKS * c)[:, :n_px]
+        planes = segs.reshape(-1, ch, c).swapaxes(1, 2) \
+            .reshape(-1, ch * c)[:, :n_px]
         lo = planes[0].astype(np.uint16)
         hi = (planes[0] if reuse else planes[1]).astype(np.uint16)
         np.testing.assert_array_equal(((hi << 8) | lo).reshape(q.shape), q)
