@@ -40,7 +40,8 @@ _U16 = 65535.0  # wire quantization: page up + prob map down ride as u16
 # f32 round trip of a padded page was ~12.6 MB and dominated per-page
 # latency on tunneled hosts (measured: U-Net 88 ms vs 401 ms total).
 # Late round 4 cut the wire further (lossless, bit-identical maps):
-#   * the padded page's u16 byte planes upload rANS-coded
+#   * the UNPADDED page's u16 byte planes upload rANS-coded and the
+#     black sliding-window margins are rebuilt on device
 #     (ops/rans.py; engraving measures ~0.2 B/px per plane vs 2.0
 #     raw u16, and a u8-origin page quantizes to orig*257 — lo == hi
 #     exactly — so ONE plane ships with a reuse flag);
@@ -120,9 +121,10 @@ def _tiled_predict_coded(params, freqs, states, words, n_px: int,
                          crop, map_bits: int = 16,
                          compute_dtype: str = "float32",
                          conv_precision: str = "highest"):
-    """rANS-coded u16 byte planes of the padded page (``page_wire='rans'``,
-    the tunneled-wire arm, ~0.2 MB/page). ``plane_reuse``: the payload
-    carries one plane used for both bytes (u8-origin pages)."""
+    """rANS-coded u16 byte planes of the UNPADDED page
+    (``page_wire='rans'``, the tunneled-wire arm, ~0.23 MB/page).
+    ``plane_reuse``: the payload carries one plane used for both bytes
+    (u8-origin pages)."""
     from audio_sheet_retrieval_tpu.ops import rans
 
     # the payload codes the UNPADDED page (crop = (top, left, page_h,
@@ -157,26 +159,30 @@ _PAGE_CHUNKS = 4  # per-plane decode segments (see _encode_page_wire).
 # speed from 10 to 40 MB/s, 4 minimizes (upload + decode) time.
 
 
-def _encode_page_wire(padded_u16: np.ndarray):
-    """(freqs, states, words, n_px, plane_reuse) for the padded page's
+def _encode_page_wire(page_u16: np.ndarray):
+    """(freqs, states, words, n_px, plane_reuse) for the UNPADDED page's
     u16 byte planes, rANS-coded and cached per page content (the UMC and
-    tutorial flows run 3 detector nets over ONE page). The cache keys on
-    a blake2b digest — a 64-bit ``hash()`` collision would silently serve
-    another page's payload. Word rows are zero-padded to a power-of-two
-    bucket: the words array is a TRACED jit input, so without bucketing
-    every distinct page content would recompile the whole tiled U-Net
-    program (padding is never read — consumption is state-driven)."""
+    tutorial flows run 3 detector nets over ONE page). Pass the page
+    itself, NOT the black-padded sliding-window canvas — the decoder
+    (_tiled_predict_coded) rebuilds the margins on device, and coding
+    the padded canvas measures 70% larger (bimodal byte distribution).
+    The cache keys on a blake2b digest — a 64-bit ``hash()`` collision
+    would silently serve another page's payload. Word rows are
+    zero-padded to a bucket: the words array is a TRACED jit input, so
+    without bucketing every distinct page content would recompile the
+    whole tiled U-Net program (padding is never read — consumption is
+    state-driven)."""
     import hashlib
 
     from audio_sheet_retrieval_tpu.ops import rans
 
-    key = (padded_u16.shape,
-           hashlib.blake2b(padded_u16.tobytes(), digest_size=16).digest())
+    key = (page_u16.shape,
+           hashlib.blake2b(page_u16.tobytes(), digest_size=16).digest())
     hit = _page_wire_cache.get(key)
     if hit is not None:
         return hit
-    lo = (padded_u16 & 0xFF).astype(np.uint8).ravel()
-    hi = (padded_u16 >> 8).astype(np.uint8).ravel()
+    lo = (page_u16 & 0xFF).astype(np.uint8).ravel()
+    hi = (page_u16 >> 8).astype(np.uint8).ravel()
     plane_reuse = bool(np.array_equal(lo, hi))
     # each plane splits into _PAGE_CHUNKS segments so the device decode
     # batches its scan lanes. The lane count MUST be pinned to the
@@ -228,15 +234,21 @@ class SegmentationNetwork:
         self.conv_precision = conv_precision
         self.map_bits = map_bits
         self.page_wire = page_wire  # 'raw' = local-attached arm (no
-        # device decode, 2 B/px upload); 'rans' = tunneled-wire arm
+        # device decode, 2 B/px upload); 'rans' = tunneled-wire arm.
+        # Applies to the SLIDING path only: the direct path (page ==
+        # input_shape) uploads one raw tile — coding a single 0.5 MB
+        # tile saves less than one RPC on the measured link.
+
+        maxcode = float((1 << map_bits) - 1)
+        out_dtype = jnp.uint8 if map_bits == 8 else jnp.uint16
 
         @jax.jit
         def _direct(p, x_u16):
             y = unet.unet_apply(p, x_u16.astype(jnp.float32) * (1.0 / _U16),
                                 compute_dtype=compute_dtype,
                                 conv_precision=conv_precision)
-            return jnp.round(jnp.clip(y, 0.0, 1.0) * _U16
-                             ).astype(jnp.uint16)
+            return jnp.round(jnp.clip(y, 0.0, 1.0) * maxcode
+                             ).astype(out_dtype)
 
         self._direct = _direct
 
@@ -263,7 +275,7 @@ class SegmentationNetwork:
             q = _quantize_page(image[:, 0])
             proba = np.asarray(self._direct(
                 self.params, jnp.asarray(q[..., None]))
-            ).astype(np.float32) / _U16
+            ).astype(np.float32) / float((1 << self.map_bits) - 1)
         else:
             proba = np.stack([self._sliding(image[i, 0], overlap)
                               for i in range(n)])

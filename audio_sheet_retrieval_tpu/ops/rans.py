@@ -204,20 +204,35 @@ def _native_lib() -> Optional[ctypes.CDLL]:
     if _native is not None or _native_failed:
         return _native
     try:
-        src = os.path.join(os.path.dirname(_NATIVE_LIB_PATH),
-                           "rans_encode.cpp")
-        stale = (not os.path.exists(_NATIVE_LIB_PATH)
-                 or (os.path.exists(src)
-                     and os.path.getmtime(src)
-                     > os.path.getmtime(_NATIVE_LIB_PATH)))
-        if stale:  # also rebuilds when the source outruns a vendored .so
-            build_py = os.path.join(os.path.dirname(_NATIVE_LIB_PATH),
-                                    "build.py")
-            spec = importlib.util.spec_from_file_location(
-                "asr_rans_build", build_py)
-            mod = importlib.util.module_from_spec(spec)
-            spec.loader.exec_module(mod)
-            mod.build(verbose=False)
+        # staleness is tracked by a CONTENT digest of the source next to
+        # the vendored .so (mtimes are not preserved by git, so a
+        # fresh-clone mtime comparison is checkout-order noise). If the
+        # digest mismatches but the toolchain is absent, the existing .so
+        # is still used — encoder equality is pinned by tests.
+        import hashlib
+
+        here = os.path.dirname(_NATIVE_LIB_PATH)
+        src = os.path.join(here, "rans_encode.cpp")
+        sha_path = _NATIVE_LIB_PATH + ".sha"
+        src_sha = hashlib.sha256(open(src, "rb").read()).hexdigest() \
+            if os.path.exists(src) else None
+        have = os.path.exists(_NATIVE_LIB_PATH)
+        fresh = (have and src_sha is not None and os.path.exists(sha_path)
+                 and open(sha_path).read().strip() == src_sha)
+        if not fresh:
+            try:
+                build_py = os.path.join(here, "build.py")
+                spec = importlib.util.spec_from_file_location(
+                    "asr_rans_build", build_py)
+                mod = importlib.util.module_from_spec(spec)
+                spec.loader.exec_module(mod)
+                mod.build(verbose=False)
+                if src_sha is not None:
+                    with open(sha_path, "w") as fh:
+                        fh.write(src_sha + "\n")
+            except Exception:
+                if not have:  # no toolchain AND no vendored binary
+                    raise
         lib = ctypes.CDLL(_NATIVE_LIB_PATH)
         fn = lib.asr_rans_encode_batch
         fn.restype = ctypes.c_int64

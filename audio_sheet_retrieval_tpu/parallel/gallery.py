@@ -281,6 +281,18 @@ def make_sharded_sheet_query(mesh: Mesh, params, cfg, gallery,
     return query
 
 
+def _overflow_ids(valid: np.ndarray, n_pieces: int,
+                  n_win: int) -> np.ndarray:
+    """Row ids for a sharded gallery build: window rows follow piece
+    order; rows whose shared-grid window is invalid for their piece
+    (white/silence padding) map to the overflow bin ``n_pieces`` so
+    _prep_sharded_gallery masks them out of the vote. ONE home for the
+    invariant shared by all three sharded builders."""
+    return np.where(valid[:n_pieces].reshape(-1) > 0,
+                    np.repeat(np.arange(n_pieces, dtype=np.int64), n_win),
+                    np.int64(n_pieces))
+
+
 def _pad_strip_stack(m: int, cfg, strips, stride: Optional[int]):
     """Shared host prep of the sharded sheet builders: pieces padded
     (all-white) to a multiple of the shard count ``m``, widths to the
@@ -370,12 +382,7 @@ def build_sharded_sheet_gallery(mesh: Mesh, params, cfg,
     valid_dev = jax.device_put(valid, NamedSharding(mesh, P(axis, None)))
     codes = build(jax.device_put(params), stack_dev, jnp.asarray(starts),
                   valid_dev)
-    # window rows follow piece order; padding pieces occupy the tail.
-    # White-padding windows of narrow pieces vote into the overflow bin.
-    ids = np.where(valid[:n_pieces].reshape(-1) > 0,
-                   np.repeat(np.arange(n_pieces, dtype=np.int64), n_win),
-                   np.int64(n_pieces))
-    return codes, ids, n_pieces * n_win
+    return codes, _overflow_ids(valid, n_pieces, n_win), n_pieces * n_win
 
 
 def build_sharded_sheet_gallery_coded(mesh: Mesh, params, cfg,
@@ -433,10 +440,7 @@ def build_sharded_sheet_gallery_coded(mesh: Mesh, params, cfg,
     valid_dev = jax.device_put(valid, sh)
     codes = build(jax.device_put(params), *wire, jnp.asarray(starts),
                   valid_dev)
-    ids = np.where(valid[:n_pieces].reshape(-1) > 0,
-                   np.repeat(np.arange(n_pieces, dtype=np.int64), n_win),
-                   np.int64(n_pieces))
-    return codes, ids, n_pieces * n_win
+    return codes, _overflow_ids(valid, n_pieces, n_win), n_pieces * n_win
 
 
 def build_sharded_audio_gallery(mesh: Mesh, params, cfg, specs, *,
@@ -560,10 +564,7 @@ def build_sharded_audio_gallery(mesh: Mesh, params, cfg, specs, *,
                                                            None))),
                       jax.device_put(scales, sh_p), jnp.asarray(starts),
                       jax.device_put(valid, sh_pn))
-    ids = np.where(valid[:n_pieces].reshape(-1) > 0,
-                   np.repeat(np.arange(n_pieces, dtype=np.int64), n_win),
-                   np.int64(n_pieces))
-    return codes, ids, n_pieces * n_win
+    return codes, _overflow_ids(valid, n_pieces, n_win), n_pieces * n_win
 
 
 def make_sharded_cca_moments(mesh: Mesh, axis: str = "data"):

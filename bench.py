@@ -202,7 +202,13 @@ def main():
     audio_mode = os.environ.get("ASR_BENCH_AUDIO")
     if audio_mode is None:
         legacy = os.environ.get("ASR_BENCH_MULAW")
-        audio_mode = {None: "specrans", "1": "mulaw",
+        # specrans is corpus-batched and needs batched uploads, which the
+        # pack4/raw/rlepairs sheet arms don't do — their unset-audio
+        # default stays plain specu8 so every sheet arm runs standalone
+        default_audio = ("specrans" if sheet_mode in ("rle", "rle2",
+                                                      "rans")
+                         else "specu8")
+        audio_mode = {None: default_audio, "1": "mulaw",
                       "0": "int16"}[legacy]
     if audio_mode not in ("specrans", "specu16", "specu8", "specf32",
                           "mulaw", "int16"):
