@@ -403,6 +403,49 @@ def test_sharded_audio_gallery_build_matches_single_chip(mesh8):
                                        quantize=16, coded=True)
 
 
+def test_serving_matrix_on_2d_mesh():
+    """The pod serving matrix on a 2-D (data=4, db=2) mesh — the dryrun's
+    actual pod layout — sharding builds and queries over the db axis
+    only: coded sheet build + fused piece query must reproduce the 1-D
+    full-mesh results exactly (same pieces, same query)."""
+    import jax.numpy as jnp
+
+    from audio_sheet_retrieval_tpu.models import cca_model
+    from audio_sheet_retrieval_tpu.models.configs import get_model_config
+    from audio_sheet_retrieval_tpu.ops import windows
+
+    mesh2d = pm.make_mesh((4, 2), axis_names=(pm.DATA_AXIS, pm.DB_AXIS))
+    cfg = get_model_config("mutopia_ccal_cont_rsz", num_filters=4,
+                           dim_latent=8)
+    params = cca_model.init_model(jax.random.PRNGKey(8), cfg)
+    params = params._replace(cca=params.cca._replace(
+        U=jnp.eye(cfg.dim_latent), V=jnp.eye(cfg.dim_latent)))
+    rng = np.random.default_rng(29)
+    strips = []
+    for _ in range(3):
+        s = np.full((200, 900), 255, np.uint8)
+        for x in rng.integers(0, 880, 40):
+            s[rng.integers(20, 170):, x:x + 5][:12] = 0
+        strips.append(s)
+    spec = (rng.random((92, 260)) * 4).astype(np.float32)
+    payload, scale = windows.spec_quantize(spec, bits=16)
+    qstarts = jnp.asarray(windows.linspace_starts(260, 42, 10))
+
+    results = {}
+    for name, mesh in (("2d", mesh2d),
+                       ("1d", pm.make_mesh((8,),
+                                           axis_names=(pm.DB_AXIS,)))):
+        codes, ids, n_real = pg.build_sharded_sheet_gallery_coded(
+            mesh, params, cfg, strips, axis=pm.DB_AXIS)
+        q = pg.make_sharded_piece_query(
+            mesh, params, cfg, codes, ids, 3, n_candidates=5,
+            n_real=n_real, axis=pm.DB_AXIS)
+        results[name] = np.asarray(q(jnp.asarray(payload), scale,
+                                     qstarts))
+    np.testing.assert_array_equal(results["2d"], results["1d"])
+    assert int(results["2d"].sum()) == 10 * 5
+
+
 def test_sharded_sheet_query_matches_single_chip(mesh8):
     """Pod-scale sheet->audio mirror query (make_sharded_sheet_query): a
     strip query over the rle2 wire against the SHARDED audio gallery must
