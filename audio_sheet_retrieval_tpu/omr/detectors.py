@@ -220,6 +220,53 @@ class OpticalMusicRecognizer:
             detected = detected[np.argsort(detected[:, 0, 0])]
         return detected
 
+    def detect_systems_ly(self, image: np.ndarray, verbose: bool = False,
+                          lines_per_system: int = 10) -> np.ndarray:
+        """Staff-line-grouping system detector for clean LilyPond renders
+        (reference omr.py:510-547) -> [N, 4, 2] corners (TL, TR, BR, BL).
+
+        Purely morphological — no U-Net: binarize dark pixels, keep only
+        long horizontal runs (1 x 0.7*width opening isolates staff
+        lines), then group every ``lines_per_system`` consecutive line
+        components (reference hardcodes the /10 = two 5-line staves of a
+        piano system) into one system bbox. Deviations from the
+        reference: the unconditional mid-function ``plt.show()`` debug
+        plot is gated behind ``verbose``; components are explicitly
+        sorted top-to-bottom before grouping (the reference relies on
+        skimage label() scan order, which is the same ordering for
+        horizontal staff lines); the group size is a parameter with the
+        reference's 10 as default. See PARITY.md.
+        """
+        import cv2
+
+        binary = (np.asarray(image) <= 0.5).astype(np.uint8)
+        kernel_size = max(int(binary.shape[1] * 0.7), 1)
+        kernel = np.ones((1, kernel_size), np.uint8)
+        binary = cv2.morphologyEx(binary, cv2.MORPH_OPEN, kernel)
+
+        if verbose:  # reference: unconditional plt.figure/imshow/show
+            import matplotlib.pyplot as plt
+
+            plt.figure()
+            plt.imshow(binary)
+            plt.show()
+
+        _, regions = labeled_regions(binary)
+        # scanline (top-to-bottom) order, as skimage label() would yield
+        # for horizontal line components
+        regions.sort(key=lambda r: (r.bbox[0], r.bbox[1]))
+
+        detected = []
+        for g in range(0, len(regions), lines_per_system):
+            group = regions[g:g + lines_per_system]
+            min_row = min(r.bbox[0] for r in group)
+            min_col = min(r.bbox[1] for r in group)
+            max_row = max(r.bbox[2] for r in group)
+            max_col = max(r.bbox[3] for r in group)
+            detected.append([[min_row, min_col], [min_row, max_col],
+                             [max_row, max_col], [max_row, min_col]])
+        return np.asarray(detected, float).reshape(-1, 4, 2)
+
     def detect_bars(self, image: np.ndarray, systems=None,
                     verbose: bool = False) -> np.ndarray:
         """-> [N, 2, 2] bar line segments (top/bottom points)."""

@@ -208,8 +208,11 @@ def _encode_page_wire(page_u16: np.ndarray):
     bucket = max(step, int(np.ceil(words.shape[1] / step)) * step)
     words = np.pad(words, ((0, 0), (0, bucket - words.shape[1])))
     out = (freqs, states, words, int(n_plane), plane_reuse)
-    if len(_page_wire_cache) > 8:
-        _page_wire_cache.clear()
+    while len(_page_wire_cache) > 8:
+        # FIFO: evict the oldest entry only (dict preserves insertion
+        # order) — clearing wholesale would drop every hot page at once
+        # mid-way through a multi-page load
+        _page_wire_cache.pop(next(iter(_page_wire_cache)))
     _page_wire_cache[key] = out
     return out
 

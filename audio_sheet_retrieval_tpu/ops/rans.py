@@ -207,8 +207,13 @@ def _native_lib() -> Optional[ctypes.CDLL]:
         # staleness is tracked by a CONTENT digest of the source next to
         # the vendored .so (mtimes are not preserved by git, so a
         # fresh-clone mtime comparison is checkout-order noise). If the
-        # digest mismatches but the toolchain is absent, the existing .so
-        # is still used — encoder equality is pinned by tests.
+        # digest MISMATCHES (source changed) and the rebuild fails (no
+        # toolchain), the stale .so is NOT used: a wire-format drift
+        # between encoder versions would corrupt payloads silently on
+        # hosts that never run the test suite, so the always-current
+        # numpy encoder is preferred. The .so is only trusted without a
+        # digest check when the source itself is absent (binary-only
+        # deployment — nothing to drift from).
         import hashlib
 
         here = os.path.dirname(_NATIVE_LIB_PATH)
@@ -233,6 +238,18 @@ def _native_lib() -> Optional[ctypes.CDLL]:
             except Exception:
                 if not have:  # no toolchain AND no vendored binary
                     raise
+                if src_sha is not None:
+                    # source present but changed vs the recorded digest,
+                    # and rebuild failed: treat the vendored binary as
+                    # stale and fall back to the numpy encoder.
+                    import warnings
+
+                    warnings.warn(
+                        "native rANS source changed but rebuild failed; "
+                        "ignoring stale libasrrans.so (numpy encoder "
+                        "fallback)", RuntimeWarning, stacklevel=2)
+                    _native_failed = True
+                    return None
         lib = ctypes.CDLL(_NATIVE_LIB_PATH)
         fn = lib.asr_rans_encode_batch
         fn.restype = ctypes.c_int64
@@ -372,10 +389,15 @@ def _decode_batch_jit(freqs: jnp.ndarray, states: jnp.ndarray,
         x = f * (x >> PROB_BITS) + slot - c
         consume = x < jnp.uint32(RANS_L)
         offs = jnp.cumsum(consume.astype(jnp.int32), axis=1) - 1
-        # explicit clip: a leading non-consuming lane indexes base-1, and
-        # dynamic negative gather indices are not python-wrapped; the
-        # gathered word is discarded by the where
-        idx = jnp.clip(base[:, None] + offs, 0, wf.shape[0] - 1)
+        # clip PER ROW [base0[p], base0[p]+wmax-1]: a leading
+        # non-consuming lane indexes base-1 (gathered word discarded by
+        # the where), and a truncated/malformed payload row can only
+        # re-read its own row's padding — never the next row's words —
+        # so corruption stays contained to the bad payload. Payloads are
+        # still assumed trusted/in-process: a bad row decodes garbage
+        # for itself rather than raising.
+        idx = jnp.clip(base[:, None] + offs, base0[:, None],
+                       base0[:, None] + (wmax - 1))
         w = wf[idx].astype(jnp.uint32)
         x = jnp.where(consume, (x << 16) | w, x)
         base = base + offs[:, -1] + 1

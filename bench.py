@@ -175,6 +175,13 @@ def main():
     if os.environ.get("ASR_BENCH_PACK4") == "0" and "ASR_BENCH_SHEET" \
             not in os.environ:
         sheet_mode = "raw"
+    no_batch_upload = os.environ.get("ASR_BENCH_BATCH_UPLOAD", "1") != "1"
+    if no_batch_upload and sheet_mode == "rans" \
+            and "ASR_BENCH_SHEET" not in os.environ:
+        # the rans default is corpus-batched; with batched uploads
+        # disabled fall back to per-strip rle2 instead of erroring on a
+        # previously valid env combination
+        sheet_mode = "rle2"
     if sheet_mode not in ("rans", "rle2", "rle", "rlepairs", "pack4",
                           "raw"):
         raise SystemExit(
@@ -207,6 +214,7 @@ def main():
         # default stays plain specu8 so every sheet arm runs standalone
         default_audio = ("specrans" if sheet_mode in ("rle", "rle2",
                                                       "rans")
+                         and not no_batch_upload
                          else "specu8")
         audio_mode = {None: default_audio, "1": "mulaw",
                       "0": "int16"}[legacy]

@@ -184,6 +184,29 @@ def test_labeled_regions_geometry():
     assert bar.major_axis_length > 75
 
 
+def test_detect_systems_ly_groups_staff_lines():
+    """Pure-morphology LilyPond system detector (reference omr.py:510-547):
+    two piano systems of 10 long staff lines each, plus short ink (note
+    heads / text) that the 0.7*width horizontal opening must discard."""
+    img = np.ones((400, 500), np.float32)  # white page, dark ink <= 0.5
+    for sys_top in (50, 250):
+        for li in range(10):
+            img[sys_top + 8 * li, 40:460] = 0.0       # staff lines
+    img[120:130, 200:210] = 0.0                        # short blob: dropped
+    omr = detectors.OpticalMusicRecognizer()
+    systems = omr.detect_systems_ly(img)
+    assert systems.shape == (2, 4, 2)
+    # corner order TL, TR, BR, BL in (row, col)
+    (tl, tr, br, bl) = systems[0]
+    assert tl[0] == tr[0] == 50 and br[0] == bl[0] >= 50 + 8 * 9
+    # +-1 px: cv2 even-width opening kernels have an asymmetric anchor
+    assert tl[1] == bl[1] and abs(tl[1] - 40) <= 1
+    assert tr[1] == br[1] and abs(tr[1] - 460) <= 1
+    assert systems[1][0][0] == 250
+    # group size is parameterized; 5-line single staves -> 4 systems
+    assert omr.detect_systems_ly(img, lines_per_system=5).shape == (4, 4, 2)
+
+
 def test_peak_local_max_2d():
     img = np.zeros((50, 50), np.float32)
     img[10, 10] = 1.0
