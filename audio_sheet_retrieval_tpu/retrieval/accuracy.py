@@ -104,6 +104,7 @@ def piece_id_accuracy(params, cfg, images: Sequence[np.ndarray],
     rank1 = rank5 = n = 0
     lat = []
     margins = []
+    ranks = []
     for p, spec in enumerate(specs):
         spec = np.asarray(spec, np.float32)
         padded = np.zeros((spec.shape[0], t_max), np.float32)
@@ -126,6 +127,7 @@ def piece_id_accuracy(params, cfg, images: Sequence[np.ndarray],
             # dependent and would make the accuracy numbers irreproducible
             # at tie boundaries)
             rank = int(np.sum(counts >= counts[p]))
+            ranks.append(rank)
             rank1 += rank <= 1
             rank5 += rank <= 5
             n += 1
@@ -142,6 +144,11 @@ def piece_id_accuracy(params, cfg, images: Sequence[np.ndarray],
     # instead of a zero-size reduction crash
     return {"rank1": int(rank1), "rank5": int(rank5), "n": int(n),
             "p50_ms": float(np.percentile(lat, 50) * 1000) if lat else 0.0,
+            # per-query ranks in deterministic (piece, segment) order:
+            # arms run on the same corpus/knobs pair query-for-query, so
+            # sweeps can run PAIRED significance tests (McNemar) instead
+            # of comparing two noisy marginal counts (VERDICT r4 weak #2)
+            "ranks": ranks,
             "margins": [int(m) for m in margins],
             "margin_p10": float(np.percentile(margins, 10)) if margins
             else 0.0,

@@ -207,6 +207,7 @@ def main(argv=None):
                 refined, dataclasses.replace(cfg, compute_dtype=dt),
                 ab[0], ab_specs, coords=ab_coords, queries_per_piece=1,
                 excerpts_per_query=100)
+            acc.pop("ranks", None)  # per-query detail is the sweep's job
             out["serving_ab"][dt] = acc
             print(f"serving piece-ID [{dt}]: rank<=1 {acc['rank1']}/"
                   f"{acc['n']}, rank<=5 {acc['rank5']}/{acc['n']}",

@@ -1,6 +1,7 @@
 """Data pools / iterators: entity indexing, augmentation, sub-epoch semantics."""
 
 import numpy as np
+import pytest
 
 from audio_sheet_retrieval_tpu.data import iterators, pools, synthetic
 
@@ -178,3 +179,41 @@ def test_piece_id_accuracy_margins_consistent():
     # a strictly positive margin IS a rank-1 hit under the pessimistic
     # tie rule; margin 0 is a tie and counts as rank>=2
     assert int((m > 0).sum()) == acc["rank1"]
+    # per-query ranks (the sweep's pairing channel) agree with the counts
+    r = np.asarray(acc["ranks"])
+    assert len(r) == acc["n"]
+    assert int((r <= 1).sum()) == acc["rank1"]
+    assert int((r <= 5).sum()) == acc["rank5"]
+
+
+def test_accuracy_sweep_paired_stats():
+    """scripts/accuracy_sweep.py statistics: exact McNemar and the paired
+    delta CI, checked against hand-computed values."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "asr_sweep", os.path.join(os.path.dirname(__file__), "..",
+                                  "scripts", "accuracy_sweep.py"))
+    sweep = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sweep)
+
+    # no discordant pairs -> p = 1
+    assert sweep.mcnemar_exact(0, 0) == 1.0
+    # b=5, c=0: two-sided exact = 2 * (1/2)^5 = 0.0625
+    assert sweep.mcnemar_exact(5, 0) == pytest.approx(0.0625)
+    assert sweep.mcnemar_exact(0, 5) == pytest.approx(0.0625)
+    # symmetric split is maximally insignificant
+    assert sweep.mcnemar_exact(3, 3) == 1.0
+    # b=9, c=1: 2 * (C(10,0)+C(10,1)) / 2^10 = 22/1024
+    assert sweep.mcnemar_exact(9, 1) == pytest.approx(22 / 1024)
+
+    # paired CI: identical arms -> delta 0, zero-width interval
+    a = np.array([1, 1, 0, 1, 0], bool)
+    d, ci = sweep.paired_delta_ci(a, a)
+    assert d == 0.0 and ci == (0.0, 0.0)
+    # one discordant pair out of 5 -> delta 0.2; CI contains 0 (n tiny)
+    b = np.array([1, 1, 0, 0, 0], bool)
+    d, ci = sweep.paired_delta_ci(a, b)
+    assert d == pytest.approx(0.2)
+    assert ci[0] < 0 < ci[1]
