@@ -406,6 +406,81 @@ def make_strip_embedder_rle_bitmap2_batched(params, cfg, strip_shape,
     return embed
 
 
+def make_corpus_sheet_embedder_rle_bitmap2(params, cfg, strip_shape,
+                                           *, center_crop: int
+                                           | None = None,
+                                           gather_half: bool = False,
+                                           fullconv: bool = False):
+    """ONE-dispatch corpus sheet embed: `lax.scan` over the stacked
+    [P, ...] rle2 wire components decodes + embeds EVERY piece inside a
+    single device program -> [P, n_windows, dim].
+
+    Why this exists: on tunneled backends every dispatch pays a ~26-36 ms
+    degraded RPC floor, so a 24-piece DB build of per-piece dispatches
+    (make_strip_embedder_rle_bitmap2_batched) spends ~1.2 s in dispatch
+    latency alone — more than the entire decode+embed compute. The scan
+    collapses the build to one dispatch; outputs are bit-identical to the
+    per-piece program (tests/test_windows.py). Memory: one decoded strip
+    + one piece's gathered windows live at a time (scan carries nothing).
+    """
+    crop_h = center_crop or cfg.input_shape_1[1]
+    h, w = int(strip_shape[0]), int(strip_shape[1])
+
+    @jax.jit
+    def embed_all(p, bm2_all, vals2_all, values_all, starts):
+        def body(_, wire):
+            bm2, v2, v1 = wire
+            strip = rle_bitmap2_decode_device(bm2, v2, v1, h, w)
+            out = _strip_embed_core(p, strip, starts, cfg, False, crop_h,
+                                    gather_half, fullconv)
+            return 0, out
+        _, codes = jax.lax.scan(body, 0,
+                                (bm2_all, vals2_all, values_all))
+        return codes  # [P, n_windows, dim]
+
+    params = jax.device_put(params)
+
+    def embed(bm2_all, vals2_all, values_all, starts):
+        return embed_all(params, bm2_all, vals2_all, values_all, starts)
+
+    return embed
+
+
+def make_corpus_spec_embedder(params, cfg, *, quantized: bool = False):
+    """ONE-dispatch corpus audio embed (the spec mirror of
+    make_corpus_sheet_embedder_rle_bitmap2): scan over stacked
+    [P, bins, T] spectrograms (f32, or u8/u16 codes + [P] scales) ->
+    [P, n_windows, dim]."""
+    from audio_sheet_retrieval_tpu.models import cca_model
+    from audio_sheet_retrieval_tpu.train.engine import prepare_view2_device
+
+    window = cfg.input_shape_2[2]
+
+    @jax.jit
+    def embed_all(p, specs_all, scales_all, starts):
+        def body(_, xs):
+            spec, scale = xs
+            spec = (spec_dequantize_device(spec, scale) if quantized
+                    else spec.astype(jnp.float32))
+            wins = gather_windows(spec, starts, window)
+            x = prepare_view2_device(wins[:, None, :, :])
+            return 0, cca_model.embed_view2(p, x, cfg)
+        _, codes = jax.lax.scan(body, 0, (specs_all, scales_all))
+        return codes
+
+    params = jax.device_put(params)
+
+    def embed(specs_all, scales_all, starts):
+        if quantized:
+            assert scales_all is not None, \
+                "quantized=True requires the per-piece scales array"
+        return embed_all(params, specs_all,
+                         jnp.zeros(specs_all.shape[0], jnp.float32)
+                         if scales_all is None else scales_all, starts)
+
+    return embed
+
+
 def make_strip_embedder_rle(params, cfg, strip_shape,
                             *, center_crop: int | None = None,
                             gather_half: bool = False,

@@ -70,6 +70,15 @@ Env knobs:
                     int16: raw
   ASR_BENCH_MULAW   legacy alias: 1 -> mulaw, 0 -> int16 (when
                     ASR_BENCH_AUDIO unset)
+  ASR_BENCH_CORPUS_SCAN  1 (default): ONE lax.scan dispatch embeds every
+                    piece's sheet windows and one embeds every piece's
+                    audio (bit-identical to the per-piece programs,
+                    tests/test_windows.py) — on tunneled links the
+                    2-dispatches-per-piece protocol pays the ~26-36 ms
+                    degraded RPC floor per dispatch, which round 5's link
+                    probe exposed as the binding constraint of the
+                    headline number | 0: per-piece dispatches (rounds 1-4
+                    protocol)
   ASR_BENCH_AUDIO_CONTENT  noise (default) | real: tile the vendored
                     tutorial recording per piece instead of white noise.
                     Noise is the audio entropy coder's worst case; real
@@ -454,6 +463,17 @@ def main():
         raise SystemExit("ASR_BENCH_AUDIO=specrans is a corpus-batched "
                          "coding; it requires batched uploads and an "
                          "rle/rle2/rans sheet mode")
+    # corpus scan (default for the coded corpus modes): ONE dispatch
+    # embeds every piece's sheet windows (lax.scan over the stacked wire)
+    # and one embeds every piece's audio — vs 2 dispatches/piece. On the
+    # tunneled link each dispatch pays the measured ~26-36 ms RPC floor,
+    # so at 24 pieces the per-piece-dispatch build spends ~1.2 s in
+    # dispatch latency alone (this was the binding constraint of rounds
+    # 1-4's headline number, exposed by the link probe above).
+    # ASR_BENCH_CORPUS_SCAN=0 restores the per-piece-dispatch protocol.
+    corpus_scan = (os.environ.get("ASR_BENCH_CORPUS_SCAN", "1") == "1"
+                   and sheet_mode in ("rans", "rle2") and spec_upload
+                   and not no_batch_upload)
     if batch_upload:
         if sheet_mode == "rans":
             rans_decode = win.make_corpus_rans_decoder(rans_lens)
@@ -485,6 +505,11 @@ def main():
         else:
             embed_audio_b = win.make_audio_embedder_mulaw_batched(
                 params, cfg, proc)
+        if corpus_scan:
+            embed_strip_s = win.make_corpus_sheet_embedder_rle_bitmap2(
+                params, cfg, (strip_h, width), center_crop=160)
+            embed_audio_s = win.make_corpus_spec_embedder(
+                params, cfg, quantized=audio_mode != "specf32")
 
     def upload_embed_strip(p):
         if sheet_mode == "rle2":
@@ -511,7 +536,19 @@ def main():
     checksum = jax.jit(lambda xs: sum(jnp.sum(x) for x in xs))
 
     # warmup / compile
-    if batch_upload:
+    if corpus_scan:
+        sp = (rans_decode(rans_payload) if sheet_mode == "rans"
+              else tuple(jnp.asarray(a) for a in (bm2_all, v2_all,
+                                                  v1_all)))
+        r1 = embed_strip_s(*sp, sheet_starts_d)
+        if audio_mode == "specrans":
+            r2 = embed_audio_s(
+                spec_rans_dec(spec_rans_payload, spec_flags),
+                jnp.asarray(scales_all), spec_starts_d)
+        else:
+            r2 = embed_audio_s(jnp.asarray(codes_all),
+                               jnp.asarray(scales_all), spec_starts_d)
+    elif batch_upload:
         if sheet_mode == "rans":
             r1 = embed_strip_b(*rans_decode(rans_payload), 0,
                                sheet_starts_d)
@@ -544,7 +581,22 @@ def main():
     for r in range(repeats):
         t0 = time.perf_counter()
         outs = []
-        if batch_upload:
+        if corpus_scan:
+            # upload the coded stacks, then TWO embed dispatches for the
+            # whole corpus (+1 decode dispatch per rans component set)
+            sheet_payload = (rans_decode(rans_payload)
+                             if sheet_mode == "rans"
+                             else tuple(jax.device_put(a) for a in
+                                        (bm2_all, v2_all, v1_all)))
+            if audio_mode == "specrans":
+                ca = spec_rans_dec(spec_rans_payload, spec_flags)
+                sa = jax.device_put(scales_all)
+            else:
+                ca = jax.device_put(codes_all)
+                sa = jax.device_put(scales_all)
+            outs.append(embed_strip_s(*sheet_payload, sheet_starts_d))
+            outs.append(embed_audio_s(ca, sa, spec_starts_d))
+        elif batch_upload:
             if sheet_mode == "rans":
                 # upload the 9 coded arrays + ONE corpus decode dispatch;
                 # the decoded component stacks never leave the device
@@ -953,6 +1005,7 @@ def main():
             "max_gallery_rows_per_chip": max_rows,
             "dtype": dtype,
             "conv_precision": precision,
+            "corpus_scan": bool(corpus_scan),
             "sheet_upload": {"rans": "rans-rle2-lossless",
                              "rle2": "rle-bitmap2-lossless",
                              "rle": "rle-bitmap-lossless",

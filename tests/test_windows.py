@@ -324,6 +324,58 @@ def test_batched_embedders_match_per_piece_paths():
         np.testing.assert_array_equal(want, got)
 
 
+def test_corpus_scan_embedders_match_per_piece_paths():
+    """ONE-dispatch corpus scan (make_corpus_sheet_embedder_rle_bitmap2 /
+    make_corpus_spec_embedder) must be bit-identical to the per-piece
+    batched programs it replaces — the scan only removes dispatches."""
+    cfg = get_model_config("mutopia_ccal_cont_rsz", num_filters=4,
+                           dim_latent=8)
+    params = cca_model.init_model(jax.random.PRNGKey(2), cfg)
+    params = params._replace(cca=params.cca._replace(
+        U=jnp.eye(cfg.dim_latent), V=jnp.eye(cfg.dim_latent)))
+    rng = np.random.default_rng(9)
+
+    # sheet side: rle2 wire, scan vs per-piece row select
+    strips = []
+    for _ in range(3):
+        s = np.full((200, 1000), 255, np.uint8)
+        for x in rng.integers(0, 900, 40):
+            s[rng.integers(20, 170):, x:x + 4][:10] = 0
+        strips.append(s)
+    enc = [windows.rle_bitmap2_encode_strip(s) for s in strips]
+    r2m = max(v.shape[0] for _, v, _ in enc)
+    r1m = max(v.shape[0] for _, _, v in enc)
+    enc = [(b, np.pad(v2, (0, r2m - v2.shape[0])),
+            np.pad(v1, (0, r1m - v1.shape[0]))) for b, v2, v1 in enc]
+    bm2 = jnp.asarray(np.stack([b for b, _, _ in enc]))
+    v2a = jnp.asarray(np.stack([v for _, v, _ in enc]))
+    v1a = jnp.asarray(np.stack([v for _, _, v in enc]))
+    starts = jnp.asarray(np.arange(0, 800, 100, dtype=np.int32))
+    per_piece = windows.make_strip_embedder_rle_bitmap2_batched(
+        params, cfg, (200, 1000), center_crop=160)
+    scan = windows.make_corpus_sheet_embedder_rle_bitmap2(
+        params, cfg, (200, 1000), center_crop=160)
+    got = np.asarray(scan(bm2, v2a, v1a, starts))
+    assert got.shape == (3, len(starts), cfg.dim_latent)
+    for p in range(3):
+        want = np.asarray(per_piece(bm2, v2a, v1a, p, starts))
+        np.testing.assert_array_equal(want, got[p])
+
+    # spec side: quantized codes, scan vs per-piece row select
+    specs = [rng.random((92, 80), np.float32) * (p + 1) for p in range(3)]
+    qs = [windows.spec_quantize(s, bits=8) for s in specs]
+    codes = jnp.asarray(np.stack([c for c, _ in qs]))
+    scales = jnp.asarray(np.asarray([s for _, s in qs], np.float32))
+    astarts = jnp.asarray(np.arange(0, 38, 9, dtype=np.int32))
+    per_piece_a = windows.make_spec_embedder_batched(params, cfg,
+                                                     quantized=True)
+    scan_a = windows.make_corpus_spec_embedder(params, cfg, quantized=True)
+    got_a = np.asarray(scan_a(codes, scales, astarts))
+    for p in range(3):
+        want = np.asarray(per_piece_a(codes, scales, p, astarts))
+        np.testing.assert_array_equal(want, got_a[p])
+
+
 def test_rle_bitmap_roundtrip_and_embedder_parity():
     """Bitmap run-length coding: lossless roundtrip, and the fused bitmap
     embedder (plain + corpus-batched) matches the raw uint8 path exactly."""
