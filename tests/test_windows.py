@@ -518,3 +518,95 @@ def test_rle_bitmap2_roundtrip_and_embedder_parity():
         np.testing.assert_array_equal(want, got)
         got_b = np.asarray(batched(b_all, v2_all, v1_all, p, starts))
         np.testing.assert_array_equal(want, got_b)
+
+
+def test_rle2_blocked_decode_bit_identical_and_planned():
+    """Blocked select-accumulate decode (rle_bitmap_decode_device_blocked /
+    block_k): bit-identical to the plain gather decode on runny, adversarial
+    and edge strips; rle2_block_plan returns a sufficient (k1, k2) or None
+    exactly when the largest bucket is too small."""
+    rng = np.random.default_rng(31)
+    cases = []
+    s = np.full((200, 1400), 255, np.uint8)          # runny engraving-like
+    for x in rng.integers(0, 1300, 70):
+        s[rng.integers(20, 170):, x:x + 5][:12] = rng.integers(0, 90)
+    cases.append(s)
+    cases.append(np.full((3, 700), 7, np.uint8))     # single run
+    cases.append((rng.integers(0, 4, (4, 600)) * 80).astype(np.uint8))
+    cases.append(np.tile(np.array([[0, 255]], np.uint8), (2, 64)))
+    for s in cases:
+        n = s.size
+        bm2, v2, v1 = windows.rle_bitmap2_encode_strip(s)
+        plan = windows.rle2_block_plan(bm2, v2, v1, n)
+        if plan is None:
+            continue  # covered by the adversarial case below
+        out = np.asarray(windows.rle_bitmap2_decode_device(
+            jnp.asarray(bm2), jnp.asarray(v2), jnp.asarray(v1), *s.shape,
+            block_k=plan))
+        np.testing.assert_array_equal(out, s)
+        # any larger bucket pair is also exact
+        out2 = np.asarray(windows.rle_bitmap2_decode_device(
+            jnp.asarray(bm2), jnp.asarray(v2), jnp.asarray(v1), *s.shape,
+            block_k=(256, 256)))
+        np.testing.assert_array_equal(out2, s)
+
+    # adversarial: alternating pixels -> a 512-px tile spans 512 runs,
+    # beyond the largest bucket -> the plan must refuse
+    adv = np.tile(np.array([[0, 255]], np.uint8), (2, 512))
+    bm2, v2, v1 = windows.rle_bitmap2_encode_strip(adv)
+    assert windows.rle2_block_plan(bm2, v2, v1, adv.size) is None
+
+    # corpus plan = per-level max over pieces; None poisons the corpus
+    encs = [windows.rle_bitmap2_encode_strip(c) for c in cases[:2]]
+    n0 = cases[0].size
+    # (pad to shared length like real corpus stacking would)
+    plan0 = windows.rle2_block_plan(*encs[0], n0)
+    assert windows.rle2_corpus_block_plan([encs[0]], n0) == plan0
+
+
+def test_rle2_blocked_embedders_match_plain():
+    """The three rle2 embedder factories produce bit-identical embeddings
+    with block_k set (vs block_k=None)."""
+    rng = np.random.default_rng(37)
+    strips = []
+    for _ in range(3):
+        s = np.full((200, 1200), 255, np.uint8)
+        for x in rng.integers(0, 1100, 50):
+            s[rng.integers(20, 170):, x:x + 4][:10] = rng.integers(0, 90)
+        strips.append(s)
+    cfg = get_model_config("mutopia_ccal_cont_rsz", num_filters=4,
+                           dim_latent=8)
+    params = cca_model.init_model(jax.random.PRNGKey(8), cfg)
+    params = params._replace(cca=params.cca._replace(
+        U=jnp.eye(cfg.dim_latent), V=jnp.eye(cfg.dim_latent)))
+    starts = jnp.asarray(np.arange(0, 900, 130, dtype=np.int32))
+
+    enc = [windows.rle_bitmap2_encode_strip(s) for s in strips]
+    r2 = max(v.shape[0] for _, v, _ in enc)
+    r1 = max(v.shape[0] for _, _, v in enc)
+    enc = [(b, np.pad(v2_, (0, r2 - v2_.shape[0])),
+            np.pad(v1_, (0, r1 - v1_.shape[0]))) for b, v2_, v1_ in enc]
+    plan = windows.rle2_corpus_block_plan(enc, strips[0].size)
+    assert plan is not None
+
+    shape = strips[0].shape
+    plain = windows.make_strip_embedder_rle_bitmap2(
+        params, cfg, shape, center_crop=160)
+    blocked = windows.make_strip_embedder_rle_bitmap2(
+        params, cfg, shape, center_crop=160, block_k=plan)
+    b_all = jnp.asarray(np.stack([b for b, _, _ in enc]))
+    v2_all = jnp.asarray(np.stack([v for _, v, _ in enc]))
+    v1_all = jnp.asarray(np.stack([v for _, _, v in enc]))
+    bat = windows.make_strip_embedder_rle_bitmap2_batched(
+        params, cfg, shape, center_crop=160, block_k=plan)
+    scan = windows.make_corpus_sheet_embedder_rle_bitmap2(
+        params, cfg, shape, center_crop=160, block_k=plan)
+    all_scan = np.asarray(scan(b_all, v2_all, v1_all, starts))
+    for p in range(len(strips)):
+        args = tuple(jnp.asarray(x) for x in enc[p])
+        want = np.asarray(plain(*args, starts))
+        np.testing.assert_array_equal(
+            want, np.asarray(blocked(*args, starts)))
+        np.testing.assert_array_equal(
+            want, np.asarray(bat(b_all, v2_all, v1_all, p, starts)))
+        np.testing.assert_array_equal(want, all_scan[p])
