@@ -214,7 +214,8 @@ def make_sharded_sheet_query(mesh: Mesh, params, cfg, gallery,
                              n_candidates: int = 25, axis: str = DB_AXIS,
                              coding: str = "rle_bitmap2",
                              strip_shape=None,
-                             n_real: Optional[int] = None):
+                             n_real: Optional[int] = None,
+                             block_k=None):
     """Pod-scale fused detect_performance: the sheet->audio MIRROR of
     make_sharded_piece_query (single-chip fast path:
     retrieval.gallery.make_fused_sheet_query; reference protocol
@@ -227,6 +228,9 @@ def make_sharded_sheet_query(mesh: Mesh, params, cfg, gallery,
     ``axis`` (the output of build_sharded_audio_gallery — pass its
     n_real). ``coding``: 'rle_bitmap2' (needs ``strip_shape=(H, W)``;
     query(bm2, vals2, values, starts)) or 'raw' (query(strip, starts)).
+    ``block_k``: optional (k1, k2) from ops.windows.rle2_block_plan —
+    routes the strip decode through the blocked select-accumulate path
+    (no per-pixel random gather; bit-identical).
 
     Returns query(...) -> counts [n_pieces].
     """
@@ -258,7 +262,8 @@ def make_sharded_sheet_query(mesh: Mesh, params, cfg, gallery,
 
     @jax.jit
     def q_rle2(p, gal, idtab, valid, bm2, vals2, values, starts):
-        strip = rle_bitmap2_decode_device(bm2, vals2, values, *strip_shape)
+        strip = rle_bitmap2_decode_device(bm2, vals2, values, *strip_shape,
+                                          block_k=block_k)
         return _body(p, gal, idtab, valid, strip, starts)
 
     @jax.jit
@@ -411,6 +416,12 @@ def build_sharded_sheet_gallery_coded(mesh: Mesh, params, cfg,
         mesh.shape[axis], cfg, strips, stride)
     payload, lens, _ = win.rans_encode_corpus_strips(list(stack))
     n0, n1, n2 = (int(x) for x in lens)
+    # blocked select-accumulate decode plan (no per-pixel random gather
+    # on-shard; bit-identical, ops/windows.rle2_block_plan) — computed
+    # host-side from the pre-rANS rle2 components; None keeps the plain
+    # gather decode
+    block_k = win.rle2_corpus_block_plan(
+        [win.rle_bitmap2_encode_strip(s_) for s_ in stack], h * w)
 
     def local_build(p_, f0, s0, w0, f1, s1, w1, f2, s2, w2, starts_,
                     valid_local):
@@ -420,7 +431,8 @@ def build_sharded_sheet_gallery_coded(mesh: Mesh, params, cfg,
 
         def embed_one(args):
             b_, v2_, v1_, v = args
-            strip = win.rle_bitmap2_decode_device(b_, v2_, v1_, h, w)
+            strip = win.rle_bitmap2_decode_device(b_, v2_, v1_, h, w,
+                                                  block_k)
             codes1 = win._strip_embed_core(p_, strip, starts_, cfg, False,
                                            center_crop)
             return codes1 * v[:, None]

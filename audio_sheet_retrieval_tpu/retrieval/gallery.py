@@ -232,7 +232,7 @@ def make_fused_piece_query_spec(params, cfg, gallery: "DeviceGallery",
 def make_fused_sheet_query(params, cfg, gallery: "DeviceGallery",
                            n_pieces: int, *, n_candidates: int = 25,
                            pack4: bool = True, coding: str = None,
-                           strip_shape=None):
+                           strip_shape=None, block_k=None):
     """Unrolled sheet strip -> per-performance vote counts, ONE dispatch.
 
     The sheet->audio mirror of make_fused_piece_query (reference
@@ -245,6 +245,9 @@ def make_fused_sheet_query(params, cfg, gallery: "DeviceGallery",
     ~0.17 B/px — query(bitmap, values, starts)) — both need static
     ``strip_shape`` — 'pack4' (lossy 4-bit, 0.5 B/px) or 'raw'; the
     legacy ``pack4`` bool maps to pack4/raw when ``coding`` is None.
+    ``block_k``: optional (k1, k2) from ops.windows.rle2_block_plan —
+    routes the rle_bitmap2 decode through the blocked select-accumulate
+    path (no per-pixel random gather; bit-identical).
     """
     from audio_sheet_retrieval_tpu.models import cca_model
     from audio_sheet_retrieval_tpu.ops.windows import (
@@ -280,7 +283,8 @@ def make_fused_sheet_query(params, cfg, gallery: "DeviceGallery",
 
     @jax.jit
     def q_rle2(p, gal_nt, valid, idtab, bm2, vals2, values, starts):
-        strip = rle_bitmap2_decode_device(bm2, vals2, values, *strip_shape)
+        strip = rle_bitmap2_decode_device(bm2, vals2, values, *strip_shape,
+                                          block_k=block_k)
         return _q_body(p, gal_nt, valid, idtab, strip, starts)
 
     def _q_body(p, gal_nt, valid, idtab, strip, starts):

@@ -537,6 +537,7 @@ class AudioSheetServer:
         import jax.numpy as jnp
 
         from audio_sheet_retrieval_tpu.ops.windows import (
+            rle2_block_plan,
             rle_bitmap2_encode_padded,
         )
         from audio_sheet_retrieval_tpu.retrieval.gallery import (
@@ -545,9 +546,14 @@ class AudioSheetServer:
 
         strip = np.asarray(sheet, np.uint8)
         bm2, vals2, values, (sh, wb) = rle_bitmap2_encode_padded(strip)
+        # blocked select-accumulate decode (bit-identical; avoids the
+        # per-pixel gather XLA serializes on TPU). The bucketed plan is
+        # part of the program-cache key — few buckets, bounded cache.
+        block_k = rle2_block_plan(bm2, vals2, values, sh * wb)
 
         n_perf = max(self.id_to_perform) + 1
-        key = (id(self._audio_gallery), n_candidates, n_perf, sh, wb)
+        key = (id(self._audio_gallery), n_candidates, n_perf, sh, wb,
+               block_k)
         cache = getattr(self, "_fused_sheet_queries", None)
         if cache is None:
             cache = self._fused_sheet_queries = {}
@@ -557,7 +563,8 @@ class AudioSheetServer:
             cache[key] = make_fused_sheet_query(
                 self.embed_network.params, self.embed_network.cfg,
                 self._audio_gallery, n_perf, n_candidates=n_candidates,
-                coding="rle_bitmap2", strip_shape=(sh, wb))
+                coding="rle_bitmap2", strip_shape=(sh, wb),
+                block_k=block_k)
         starts = jnp.asarray(linspace_starts(strip.shape[1],
                                              self.sheet_shape[1], n_samples))
         counts = np.asarray(cache[key](jnp.asarray(bm2), jnp.asarray(vals2),

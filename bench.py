@@ -354,6 +354,24 @@ def main():
         strips = raw_strips
         sheet_bytes = [s_.nbytes for s_ in strips]
     sheet_encode_s = time.perf_counter() - t_sheet_enc
+    # blocked select-accumulate decode plan (ops/windows.rle2_block_plan):
+    # replaces the per-pixel values[run_of] gather — XLA lowers that to a
+    # serial per-element loop on TPU — with per-tile window gathers +
+    # k-step selects, bit-identical. ASR_BENCH_BLOCK_DECODE=0 restores
+    # the plain gather decode for A/B.
+    sheet_block_k = None
+    if sheet_mode in ("rans", "rle2") \
+            and os.environ.get("ASR_BENCH_BLOCK_DECODE", "1") == "1":
+        encs_plan = (strips if sheet_mode == "rle2"
+                     else [win.rle_bitmap2_encode_strip(s_)
+                           for s_ in raw_strips])
+        sheet_block_k = win.rle2_corpus_block_plan(encs_plan,
+                                                   strip_h * width)
+        log(f"  rle2 blocked-decode plan (k1, k2) = {sheet_block_k}")
+        if sheet_mode == "rle2" and sheet_block_k is not None:
+            embed_strip = win.make_strip_embedder_rle_bitmap2(
+                params, cfg, (strip_h, width), center_crop=160,
+                block_k=sheet_block_k)
     # best-of-3 re-timing of the identical encode pass: on this 1-core
     # host a background process inflates a single pass several-x
     # (observed 42 -> 196 ms/piece DSP across otherwise identical runs);
@@ -478,13 +496,15 @@ def main():
         if sheet_mode == "rans":
             rans_decode = win.make_corpus_rans_decoder(rans_lens)
             embed_strip_b = win.make_strip_embedder_rle_bitmap2_batched(
-                params, cfg, (strip_h, width), center_crop=160)
+                params, cfg, (strip_h, width), center_crop=160,
+                block_k=sheet_block_k)
         elif sheet_mode == "rle2":
             bm2_all = np.stack([b for b, _, _ in strips])
             v2_all = np.stack([v for _, v, _ in strips])
             v1_all = np.stack([v for _, _, v in strips])
             embed_strip_b = win.make_strip_embedder_rle_bitmap2_batched(
-                params, cfg, (strip_h, width), center_crop=160)
+                params, cfg, (strip_h, width), center_crop=160,
+                block_k=sheet_block_k)
         else:
             vals_all = np.stack([a for a, _ in strips])   # bitmaps
             lens_all = np.stack([b for _, b in strips])   # values
@@ -507,7 +527,8 @@ def main():
                 params, cfg, proc)
         if corpus_scan:
             embed_strip_s = win.make_corpus_sheet_embedder_rle_bitmap2(
-                params, cfg, (strip_h, width), center_crop=160)
+                params, cfg, (strip_h, width), center_crop=160,
+                block_k=sheet_block_k)
             embed_audio_s = win.make_corpus_spec_embedder(
                 params, cfg, quantized=audio_mode != "specf32")
 
