@@ -141,9 +141,9 @@ def main(argv=None):
     from audio_sheet_retrieval_tpu.retrieval.umc import resolve_omr_weights
 
     sysnet = SegmentationNetwork.load(
-        resolve_omr_weights(args.omr_models, "system"))
+        resolve_omr_weights(args.omr_models, "system"), map_kind="system")
     barnet = SegmentationNetwork.load(
-        resolve_omr_weights(args.omr_models, "bar"))
+        resolve_omr_weights(args.omr_models, "bar"), map_kind="bar")
     omr = OpticalMusicRecognizer(system_detector=sysnet, bar_detector=barnet)
     page_systems = omr.detect_systems(prep)
     print("detected systems:", len(page_systems))

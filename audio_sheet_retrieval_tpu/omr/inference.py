@@ -13,6 +13,7 @@ reference looped tile-by-tile through a per-tile compiled function.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -51,6 +52,105 @@ _U16 = 65535.0  # wire quantization: page up + prob map down ride as u16
 #     detector nets of the UMC/tutorial flows encode once.
 # ``map_bits=8`` additionally halves the map download (gated by the
 # detection-equality test, tests/test_omr.py; 16 = strict default).
+# Round 5 closes the download side (VERDICT r4 next #6): the blended map
+# codes rANS-encode ON DEVICE against a STATIC frequency table trained
+# offline on map content (assets/omr_map_freqs.npy, ops/rans.py
+# rans_encode_device) — static tables remove the histogram and word-count
+# round trips that made a device-built-table design a wash in round 4.
+# The payload downloads as ONE fixed-capacity buffer carrying its own
+# word count; overflow (map denser than the sized budget) falls back to
+# fetching the raw codes, which stay on device. Lossless: the decoded
+# codes are bit-identical to the raw download.
+
+
+_MAP_WIRE_ASSET = "omr_map_wire.npz"   # per-detector static tables +
+#                                        download budgets (trained by
+#                                        scripts/train_map_freqs.py)
+_map_wire_cache: dict = {}
+
+
+def _map_wire_tables(kind):
+    """Static map-wire recipe for a detector kind ('system'/'bar'/'note',
+    or None -> the shared fallback table): (freqs u16[256],
+    budget_bytes_per_px, tabA jnp, tabB jnp, pad_sym) — or None when the
+    asset is absent (map_wire falls back to 'raw'). Per-kind tables
+    matter: measured static B/px is ~0.55 (system), ~0.15 (bar), ~0.04
+    (note) — one shared budget would waste most of the sparse maps'
+    win."""
+    key = kind or "shared"
+    if key not in _map_wire_cache:
+        from audio_sheet_retrieval_tpu import assets
+        from audio_sheet_retrieval_tpu.ops import rans
+
+        path = assets.asset_path(_MAP_WIRE_ASSET)
+        if not os.path.exists(path):
+            _map_wire_cache[key] = None
+        else:
+            with np.load(path) as z:
+                k = key if f"freqs_{key}" in z.files else "shared"
+                freqs = z[f"freqs_{k}"]
+                budget = float(z[f"budget_{k}"])
+            tabA, tabB = rans.encode_magic_tables(freqs)
+            _map_wire_cache[key] = (freqs, budget, jnp.asarray(tabA),
+                                    jnp.asarray(tabB),
+                                    int(np.argmax(freqs)))
+    return _map_wire_cache[key]
+
+
+def _encode_map_download(codes: jnp.ndarray, map_bits: int, n_px: int,
+                         tabA: jnp.ndarray, tabB: jnp.ndarray,
+                         pad_sym: int, w_budget: int):
+    """[page_h, page_w] u8/u16 map codes -> ONE flat uint16 download
+    buffer: [n_words(2), states(2S), words(w_budget), (u16 only) raw lo
+    bytes packed in pairs]. The hi-information plane (u8 codes, or the
+    u16 hi byte) is rANS-coded against the static table; the u16 lo byte
+    ships raw — it is near-noise (measured ~0.4-1.0 B/px entropy,
+    scripts/train_map_freqs.py) and entropy coding it saves nothing."""
+    from audio_sheet_retrieval_tpu.ops import rans
+
+    flat = codes.reshape(-1)
+    plane = flat.astype(jnp.uint8) if map_bits == 8 \
+        else (flat >> 8).astype(jnp.uint8)
+    states, words, n_words = rans.rans_encode_device_tables(
+        tabA, tabB, plane, n_px, rans.auto_streams(n_px), w_budget,
+        pad_sym)
+    nw = n_words.astype(jnp.uint32)
+    head = jnp.stack([nw & 0xFFFF, nw >> 16]).astype(jnp.uint16)
+    st16 = jnp.stack([states & 0xFFFF, states >> 16],
+                     axis=1).reshape(-1).astype(jnp.uint16)
+    parts = [head, st16, words]
+    if map_bits == 16:
+        lo = (flat & 0xFF).astype(jnp.uint16)
+        half = (n_px + 1) // 2
+        lo = jnp.pad(lo, (0, 2 * half - n_px))
+        parts.append(lo[0::2] | (lo[1::2] << 8))
+    return jnp.concatenate(parts)
+
+
+def _decode_map_download(packed: np.ndarray, map_bits: int, page_h: int,
+                         page_w: int, freqs: np.ndarray, w_budget: int):
+    """Host-side parse+decode of the coded map buffer; returns the u8/u16
+    codes array, or None on budget overflow (caller fetches raw)."""
+    from audio_sheet_retrieval_tpu.ops import rans
+
+    n_px = page_h * page_w
+    n_words = int(packed[0]) | (int(packed[1]) << 16)
+    if n_words > w_budget:
+        return None
+    S = rans.auto_streams(n_px)
+    st16 = packed[2:2 + 2 * S].astype(np.uint32)
+    states = st16[0::2] | (st16[1::2] << 16)
+    words = packed[2 + 2 * S:2 + 2 * S + n_words]
+    plane = rans.rans_decode_host(freqs, states, words, n_px)
+    if map_bits == 8:
+        return plane.reshape(page_h, page_w)
+    half = (n_px + 1) // 2
+    lo16 = packed[2 + 2 * S + w_budget:2 + 2 * S + w_budget + half]
+    lo = np.empty(2 * half, np.uint8)
+    lo[0::2] = lo16 & 0xFF
+    lo[1::2] = lo16 >> 8
+    return ((plane.astype(np.uint16) << 8)
+            | lo[:n_px]).reshape(page_h, page_w)
 
 
 def _tile_blend_body(params, image: jnp.ndarray, row0, col0, ham2d,
@@ -97,30 +197,44 @@ def _tile_blend_body(params, image: jnp.ndarray, row0, col0, ham2d,
 
 @functools.partial(jax.jit, static_argnames=(
     "tile_h", "tile_w", "out_h", "out_w", "crop", "map_bits",
-    "compute_dtype", "conv_precision"))
+    "compute_dtype", "conv_precision", "map_wire", "map_pad_sym",
+    "map_w_budget"))
 def _tiled_predict(params, image_u16: jnp.ndarray, row0, col0, ham2d,
                    tile_h: int, tile_w: int, out_h: int, out_w: int,
                    crop, map_bits: int = 16,
                    compute_dtype: str = "float32",
-                   conv_precision: str = "highest"):
+                   conv_precision: str = "highest",
+                   map_wire: str = "raw", enc_tabA=None, enc_tabB=None,
+                   map_pad_sym: int = 0, map_w_budget: int = 0):
     """Raw-u16 page wire (``page_wire='raw'``): the local-attached arm —
-    no decode on the device path, 2 B/px upload."""
+    no decode on the device path, 2 B/px upload. ``map_wire='rans'``
+    additionally returns the coded download buffer (fetched first; the
+    raw codes are only pulled on budget overflow)."""
     image = image_u16.astype(jnp.float32) * (1.0 / _U16)
-    return _tile_blend_body(params, image, row0, col0, ham2d, tile_h,
-                            tile_w, out_h, out_w, crop, map_bits,
-                            compute_dtype, conv_precision)
+    codes = _tile_blend_body(params, image, row0, col0, ham2d, tile_h,
+                             tile_w, out_h, out_w, crop, map_bits,
+                             compute_dtype, conv_precision)
+    if map_wire == "raw":
+        return codes
+    return _encode_map_download(codes, map_bits, crop[2] * crop[3],
+                                enc_tabA, enc_tabB, map_pad_sym,
+                                map_w_budget), codes
 
 
 @functools.partial(jax.jit, static_argnames=(
     "n_px", "plane_reuse", "tile_h", "tile_w", "out_h", "out_w", "crop",
-    "map_bits", "compute_dtype", "conv_precision"))
+    "map_bits", "compute_dtype", "conv_precision", "map_wire",
+    "map_pad_sym", "map_w_budget"))
 def _tiled_predict_coded(params, freqs, states, words, n_px: int,
                          plane_reuse: bool, row0: jnp.ndarray,
                          col0: jnp.ndarray, ham2d: jnp.ndarray,
                          tile_h: int, tile_w: int, out_h: int, out_w: int,
                          crop, map_bits: int = 16,
                          compute_dtype: str = "float32",
-                         conv_precision: str = "highest"):
+                         conv_precision: str = "highest",
+                         map_wire: str = "raw", enc_tabA=None,
+                         enc_tabB=None, map_pad_sym: int = 0,
+                         map_w_budget: int = 0):
     """rANS-coded u16 byte planes of the UNPADDED page
     (``page_wire='rans'``, the tunneled-wire arm, ~0.23 MB/page).
     ``plane_reuse``: the payload carries one plane used for both bytes
@@ -145,9 +259,14 @@ def _tiled_predict_coded(params, freqs, states, words, n_px: int,
         * (1.0 / _U16)
     image = jax.lax.dynamic_update_slice(
         jnp.zeros((out_h, out_w), jnp.float32), page, (top, left))
-    return _tile_blend_body(params, image, row0, col0, ham2d, tile_h,
-                            tile_w, out_h, out_w, crop, map_bits,
-                            compute_dtype, conv_precision)
+    codes = _tile_blend_body(params, image, row0, col0, ham2d, tile_h,
+                             tile_w, out_h, out_w, crop, map_bits,
+                             compute_dtype, conv_precision)
+    if map_wire == "raw":
+        return codes
+    return _encode_map_download(codes, map_bits, page_h * page_w,
+                                enc_tabA, enc_tabB, map_pad_sym,
+                                map_w_budget), codes
 
 
 _page_wire_cache: dict = {}  # content-key -> encoded page payload
@@ -228,9 +347,11 @@ class SegmentationNetwork:
     def __init__(self, params, input_shape: Tuple[int, int] = (512, 512),
                  compute_dtype: str = "float32",
                  conv_precision: str = "highest", map_bits: int = 16,
-                 page_wire: str = "rans"):
+                 page_wire: str = "rans", map_wire: str = "rans",
+                 map_kind: str | None = None):
         assert map_bits in (8, 16), map_bits
         assert page_wire in ("rans", "raw"), page_wire
+        assert map_wire in ("rans", "raw"), map_wire
         self.params = params
         self.input_shape = tuple(input_shape)
         self.compute_dtype = compute_dtype
@@ -241,6 +362,14 @@ class SegmentationNetwork:
         # Applies to the SLIDING path only: the direct path (page ==
         # input_shape) uploads one raw tile — coding a single 0.5 MB
         # tile saves less than one RPC on the measured link.
+        self._map_recipe = _map_wire_tables(map_kind) \
+            if map_wire == "rans" else None
+        self.map_wire = "rans" if self._map_recipe is not None else "raw"
+        # DOWNLOAD coding (static-table device rANS, lossless — decoded
+        # codes bit-identical to the raw fetch); 'raw' when the trained
+        # asset is absent. ``map_kind`` selects the per-detector table +
+        # budget (system maps measure ~15x the B/px of note maps).
+        # Sliding path only, same reasoning as page_wire.
 
         maxcode = float((1 << map_bits) - 1)
         out_dtype = jnp.uint8 if map_bits == 8 else jnp.uint16
@@ -259,11 +388,13 @@ class SegmentationNetwork:
     def load(cls, path: str, input_shape: Tuple[int, int] = (512, 512),
              compute_dtype: str = "float32",
              conv_precision: str = "highest", map_bits: int = 16,
-             page_wire: str = "rans"):
+             page_wire: str = "rans", map_wire: str = "rans",
+             map_kind: str | None = None):
         return cls(unet.load_unet_checkpoint(path), input_shape,
                    compute_dtype=compute_dtype,
                    conv_precision=conv_precision, map_bits=map_bits,
-                   page_wire=page_wire)
+                   page_wire=page_wire, map_wire=map_wire,
+                   map_kind=map_kind)
 
     def predict_proba(self, image: np.ndarray, squeeze: bool = True,
                       overlap: float = 0.5) -> np.ndarray:
@@ -308,21 +439,28 @@ class SegmentationNetwork:
         ham2d = np.sqrt(np.outer(np.hamming(sh), np.hamming(sw))
                         ).astype(np.float32)
 
+        if self.map_wire == "rans":
+            freqs_s, budget_bpx, tabA, tabB, pad_sym = self._map_recipe
+            w_budget = max(1024, int(h * w * budget_bpx / 2))
+            enc_kw = dict(map_wire="rans", enc_tabA=tabA, enc_tabB=tabB,
+                          map_pad_sym=pad_sym, map_w_budget=w_budget)
+        else:
+            enc_kw = {}
         if self.page_wire == "raw":
-            blended = _tiled_predict(
+            out = _tiled_predict(
                 self.params, jnp.asarray(_quantize_page(padded)),
                 jnp.asarray(rr.ravel()), jnp.asarray(cc.ravel()),
                 jnp.asarray(ham2d), sh, sw,
                 int(padded.shape[0]), int(padded.shape[1]),
                 (pad_top, pad_left, h, w), map_bits=self.map_bits,
                 compute_dtype=self.compute_dtype,
-                conv_precision=self.conv_precision)
+                conv_precision=self.conv_precision, **enc_kw)
         else:
             # encode the UNPADDED page; the decoder rebuilds the black
             # margins on device (see _tiled_predict_coded)
             freqs, states, words, n_px, plane_reuse = _encode_page_wire(
                 _quantize_page(img))
-            blended = _tiled_predict_coded(
+            out = _tiled_predict_coded(
                 self.params, jnp.asarray(freqs), jnp.asarray(states),
                 jnp.asarray(words), n_px, plane_reuse,
                 jnp.asarray(rr.ravel()), jnp.asarray(cc.ravel()),
@@ -330,6 +468,17 @@ class SegmentationNetwork:
                 int(padded.shape[0]), int(padded.shape[1]),
                 (pad_top, pad_left, h, w), map_bits=self.map_bits,
                 compute_dtype=self.compute_dtype,
-                conv_precision=self.conv_precision)
-        return np.asarray(blended).astype(np.float32) \
+                conv_precision=self.conv_precision, **enc_kw)
+        if self.map_wire == "rans":
+            packed, raw_codes = out
+            # ONE fixed-size transfer; the raw codes stay on device and
+            # are only pulled when the coded budget overflowed
+            blended = _decode_map_download(np.asarray(packed),
+                                           self.map_bits, h, w,
+                                           freqs_s, w_budget)
+            if blended is None:
+                blended = np.asarray(raw_codes)
+        else:
+            blended = np.asarray(out)
+        return blended.astype(np.float32) \
             / float((1 << self.map_bits) - 1)

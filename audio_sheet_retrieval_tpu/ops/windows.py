@@ -27,6 +27,70 @@ def gather_windows(seq: jnp.ndarray, starts: jnp.ndarray, window: int):
     return jnp.transpose(seq[:, cols], (1, 0, 2))             # [N, H, window]
 
 
+def gather_feature_windows_pallas(q: jnp.ndarray, starts_half: jnp.ndarray,
+                                  n_cols: int) -> jnp.ndarray:
+    """[H4, Wq, C] dense-pooled feature plane + [N] half-res window starts
+    -> [N, H4, n_cols, C] block-2 input tiles (columns s, s+2, ...,
+    s+2*(n_cols-1)) via per-window DMA instead of an XLA gather.
+
+    The fullconv serving path died on this op in round 3: XLA lowers the
+    [N, n_cols] middle-axis feature gather poorly (measured 2.2x loss,
+    scripts/fullconv_probe.py). Here the stride-2 column pattern is
+    removed BEFORE the kernel — the plane splits into even/odd column
+    parities (one dense XLA slice each), after which every window is a
+    CONTIGUOUS [H4, n_cols, C] block of its parity plane — and a Pallas
+    kernel issues one HBM->HBM DMA per window with a lag-K in-flight
+    pipeline. No gather lowering, no VMEM staging: the DMA engine moves
+    exactly the output bytes (VERDICT r4 next #5).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    h4, wq, c = q.shape
+    n = starts_half.shape[0]
+    wq_even = wq + (wq & 1)
+    if wq_even != wq:
+        q = jnp.pad(q, ((0, 0), (0, 1), (0, 0)))
+    # [2, H4, Wq/2, C]: parity p column j = original column 2j+p
+    q2 = jnp.stack([q[:, 0::2, :], q[:, 1::2, :]])
+    lag = min(8, n)
+
+    def kernel(starts_ref, q2_ref, out_ref, sems):
+        def dma_for(j):
+            s = starts_ref[j]
+            return pltpu.make_async_copy(
+                q2_ref.at[s & 1, :, pl.ds(s >> 1, n_cols), :],
+                out_ref.at[j],
+                sems.at[jax.lax.rem(j, lag)])
+
+        for j in range(lag):          # prologue: fill the pipeline
+            dma_for(j).start()
+
+        def body(j, _):
+            dma_for(j).wait()
+            # slot j % lag is free again only after the wait above
+            @pl.when(j + lag < n)
+            def _():
+                dma_for(j + lag).start()
+            return 0
+
+        jax.lax.fori_loop(0, n, body, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((lag,))],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, h4, n_cols, c), q.dtype),
+        grid_spec=grid_spec,
+        interpret=jax.default_backend() == "cpu",
+    )(starts_half.astype(jnp.int32), q2)
+
+
 def linspace_starts(total: int, window: int, n: int) -> np.ndarray:
     return np.linspace(0, total - window, num=n).astype(np.int32)
 
@@ -87,7 +151,9 @@ def _strip_embed_core(p, strip, starts, cfg, packed: bool, crop_h: int,
     if packed:
         strip = unpack_strip_4bit(strip)
     if fullconv and cfg.sheet_downscale == 2:
-        return _strip_embed_core_fullconv(p, strip, starts, cfg, crop_h)
+        return _strip_embed_core_fullconv(
+            p, strip, starts, cfg, crop_h,
+            gather="pallas" if fullconv == "pallas" else "xla")
     window = cfg.input_shape_1[2]
     r0 = strip.shape[0] // 2 - crop_h // 2
     if gather_half and cfg.sheet_downscale == 2:
@@ -107,7 +173,8 @@ def _strip_embed_core(p, strip, starts, cfg, packed: bool, crop_h: int,
     return cca_model.embed_view1(p, x, cfg)
 
 
-def _strip_embed_core_fullconv(p, strip, starts, cfg, crop_h: int):
+def _strip_embed_core_fullconv(p, strip, starts, cfg, crop_h: int,
+                               gather: str = "xla"):
     """Strip-level first-block serving fast path.
 
     Serving DB builds embed windows at stride context//4 — 75% overlap —
@@ -167,8 +234,13 @@ def _strip_embed_core_fullconv(p, strip, starts, cfg, crop_h: int):
         window_dimensions=(1, 2, 2, 1), window_strides=(1, 2, 1, 1),
         padding="VALID")[0].astype(dt)
     n_cols = window // 2 // 2  # block-2 window width
-    cols = (starts // 2)[:, None] + 2 * jnp.arange(n_cols)[None, :]
-    wins = jnp.transpose(q[:, cols], (1, 0, 2, 3))     # [N, H/4, n_cols, C]
+    if gather == "pallas":
+        # per-window DMA over parity-split planes — no XLA gather (the
+        # round-3 fullconv loss was this op; gather_feature_windows_pallas)
+        wins = gather_feature_windows_pallas(q, starts // 2, n_cols)
+    else:
+        cols = (starts // 2)[:, None] + 2 * jnp.arange(n_cols)[None, :]
+        wins = jnp.transpose(q[:, cols], (1, 0, 2, 3))  # [N, H/4, n_cols, C]
 
     h = wins
     for i in range(2, enc.N_CONV_BLOCKS):

@@ -50,9 +50,11 @@ def make_omr(omr_model_dir: str = DEFAULT_OMR_DIR, *, map_bits: int = 16):
     from audio_sheet_retrieval_tpu.omr.inference import SegmentationNetwork
 
     system_net = SegmentationNetwork.load(
-        resolve_omr_weights(omr_model_dir, "system"), map_bits=map_bits)
+        resolve_omr_weights(omr_model_dir, "system"), map_bits=map_bits,
+        map_kind="system")
     bar_net = SegmentationNetwork.load(
-        resolve_omr_weights(omr_model_dir, "bar"), map_bits=map_bits)
+        resolve_omr_weights(omr_model_dir, "bar"), map_bits=map_bits,
+        map_kind="bar")
     return OpticalMusicRecognizer(system_detector=system_net,
                                   bar_detector=bar_net)
 

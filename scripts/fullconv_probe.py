@@ -68,7 +68,11 @@ def main():
         "bf16_gather_half": measure("bf16 gather_half", cfg16,
                                     gather_half=True),
         "bf16_fullconv": measure("bf16 fullconv", cfg16, fullconv=True),
+        "bf16_fullconv_pallas": measure("bf16 fullconv pallas", cfg16,
+                                        fullconv="pallas"),
         "f32_fullconv": measure("f32 fullconv", cfg, fullconv=True),
+        "f32_fullconv_pallas": measure("f32 fullconv pallas", cfg,
+                                       fullconv="pallas"),
         "f32_standard": measure("f32 standard", cfg),
     }
     print(json.dumps(out))

@@ -184,6 +184,43 @@ def main(argv=None):
                      "n_notes": int(len(notes))}
     out["n_tiles"] = int(n_tiles)
 
+    # map DOWNLOAD wire A/B (VERDICT r4 next #6): static-table device rANS
+    # vs raw fetch, f32-high arm, both map_bits. Reports the coded buffer
+    # size so the wire saving is auditable independent of link weather.
+    if inference._map_wire_tables("system") is not None:
+        ab = {}
+        h, w = prep.shape
+        for bits in (16, 8):
+            nets = {
+                wire: inference.SegmentationNetwork(
+                    sysp, conv_precision="high", map_bits=bits,
+                    map_wire=wire, map_kind="system")
+                for wire in ("raw", "rans")}
+            sizes = {"raw": h * w * (bits // 8)}
+            recipe = nets["rans"]._map_recipe
+            wb = max(1024, int(h * w * recipe[1] / 2))
+            from audio_sheet_retrieval_tpu.ops import rans as rans_mod
+            sizes["rans"] = 2 * (2 + 2 * rans_mod.auto_streams(h * w) + wb
+                                 + ((h * w + 1) // 2 if bits == 16 else 0))
+            for wire, net_w in nets.items():
+                net_w.predict_proba(prep)  # warm
+                reps = max(5, args.reps // 4)
+                t0 = time.perf_counter()
+                for _ in range(reps):
+                    net_w.predict_proba(prep)
+                ms = (time.perf_counter() - t0) / reps * 1000
+                ab[f"u{bits}_{wire}"] = {
+                    "e2e_ms": round(ms, 1),
+                    "map_down_bytes": int(sizes[wire])}
+                print(f"map wire u{bits} {wire:4s}: {ms:6.1f} ms e2e, "
+                      f"map download {sizes[wire] / 1e6:.2f} MB",
+                      file=sys.stderr)
+            a, b = ab[f"u{bits}_raw"], ab[f"u{bits}_rans"]
+            np.testing.assert_array_equal(
+                nets["raw"].predict_proba(prep),
+                nets["rans"].predict_proba(prep))  # lossless gate
+        out["map_wire_ab"] = ab
+
     # end-to-end detect_systems at the parity arm (incl. host post-proc)
     net = inference.SegmentationNetwork(sysp)
     omr = detectors.OpticalMusicRecognizer(system_detector=net)

@@ -287,3 +287,65 @@ def test_spec_rans_bit_identical_embeddings():
             np.stack([want_codes] * len(specs))), scales_j, i, starts))
         got = np.asarray(batched(codes, scales_j, i, starts))
         np.testing.assert_array_equal(got, want)
+
+
+# --- device-side ENCODE (static tables; the OMR map-download direction) ---
+
+
+def test_encode_magic_division_exact():
+    """The div-free quotient (Hacker's Delight round-up magic, 16-bit-limb
+    mulhi) must equal x // f for every table divisor on adversarial x."""
+    rng = np.random.default_rng(7)
+    for d in [3, 5, 6, 7, 100, 641, 2047, 3000, 4095]:
+        s = int(np.ceil(np.log2(d)))
+        m = ((1 << (32 + s)) + d - 1) // d - (1 << 32)
+        xs = np.unique(np.clip(np.concatenate([
+            rng.integers(0, 2**32, 256),
+            (2**32 // d) * d + np.arange(-2, 3),
+            np.asarray([0, 1, d - 1, d, d + 1, 2**32 - 1, 2**32 - d]),
+        ]), 0, 2**32 - 1)).astype(np.uint64)
+        h = (xs * m) >> 32
+        q = (((xs - h) >> 1) + h) >> (s - 1)
+        np.testing.assert_array_equal(q, xs // d)
+
+
+@pytest.mark.parametrize("kind", ["maplike", "skewed", "uniform"])
+def test_device_encoder_bit_identical_to_host(kind):
+    """rans_encode_device (in-graph scan, static table) must produce the
+    EXACT states and word stream of the numpy host encoder — the host
+    decoder then serves both directions of the wire."""
+    rng = np.random.default_rng(len(kind))
+    n = 37_123
+    if kind == "maplike":  # near-binary probability-map codes
+        data = np.where(rng.random(n) < 0.97, 0,
+                        rng.integers(0, 256, n)).astype(np.uint8)
+    elif kind == "skewed":
+        data = _skewed_bytes(rng, n)
+    else:
+        data = rng.integers(0, 256, n, dtype=np.uint8)
+    freqs = rans.quantize_freqs(np.bincount(data, minlength=256) + 1)
+    S = 256
+    _, st_h, w_h = rans.rans_encode(data, S, freqs=freqs)
+    st_d, w_d, nw = rans.rans_encode_device(jnp.asarray(data), freqs, n,
+                                            w_budget=n, n_streams=S)
+    assert int(nw) == w_h.size
+    np.testing.assert_array_equal(np.asarray(st_d), st_h)
+    np.testing.assert_array_equal(np.asarray(w_d)[:int(nw)], w_h)
+    np.testing.assert_array_equal(
+        rans.rans_decode_host(freqs, np.asarray(st_d),
+                              np.asarray(w_d)[:int(nw)], n), data)
+
+
+def test_device_encoder_overflow_reports_true_count():
+    """A too-small budget truncates the buffer but n_words still reports
+    the real count so callers can detect overflow and fall back."""
+    rng = np.random.default_rng(3)
+    n = 10_000
+    data = rng.integers(0, 256, n, dtype=np.uint8)  # incompressible
+    freqs = rans.quantize_freqs(np.bincount(data, minlength=256) + 1)
+    _, _, w_h = rans.rans_encode(data, 256, freqs=freqs)
+    _, w_d, nw = rans.rans_encode_device(jnp.asarray(data), freqs, n,
+                                         w_budget=64, n_streams=256)
+    assert int(nw) == w_h.size > 64
+    assert np.asarray(w_d).shape == (64,)
+    np.testing.assert_array_equal(np.asarray(w_d), w_h[:64])

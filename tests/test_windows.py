@@ -610,3 +610,42 @@ def test_rle2_blocked_embedders_match_plain():
         np.testing.assert_array_equal(
             want, np.asarray(bat(b_all, v2_all, v1_all, p, starts)))
         np.testing.assert_array_equal(want, all_scan[p])
+
+
+def test_pallas_feature_window_gather_matches_xla():
+    """The DMA-based feature-window gather (parity-split planes + one
+    contiguous copy per window) must be BIT-identical to the XLA gather
+    formula it replaces, odd and even starts included."""
+    rng = np.random.default_rng(7)
+    for h4, wq, c, n_cols in [(8, 301, 24, 25), (40, 998, 24, 25),
+                              (16, 130, 8, 13)]:
+        q = jnp.asarray(rng.standard_normal((h4, wq, c)).astype(np.float32))
+        smax = wq - 2 * n_cols
+        starts = jnp.asarray(
+            np.concatenate([[0, 1, smax], rng.integers(0, smax, 29)])
+            .astype(np.int32))
+        got = np.asarray(windows.gather_feature_windows_pallas(
+            q, starts, n_cols))
+        cols = np.asarray(starts)[:, None] + 2 * np.arange(n_cols)[None, :]
+        want = np.transpose(np.asarray(q)[:, cols], (1, 0, 2, 3))
+        np.testing.assert_array_equal(got, want)
+
+
+def test_fullconv_pallas_gather_matches_xla_fullconv():
+    """fullconv='pallas' must produce the exact fullconv embeddings (the
+    gather arm is data movement only)."""
+    cfg = get_model_config("mutopia_ccal_cont_rsz", num_filters=4,
+                           dim_latent=8)
+    params = cca_model.init_model(jax.random.PRNGKey(4), cfg)
+    rng = np.random.default_rng(23)
+    strip = np.full((200, 2000), 255, np.uint8)
+    for x in rng.integers(0, 1900, 120):
+        strip[rng.integers(20, 170):, x:x + 5][:12] = rng.integers(0, 80)
+    starts = jnp.asarray(np.arange(0, 1760, 50, dtype=np.int32))
+    xla = np.asarray(windows.make_strip_embedder(
+        params, cfg, center_crop=160, fullconv=True)(
+        jnp.asarray(strip), starts))
+    pls = np.asarray(windows.make_strip_embedder(
+        params, cfg, center_crop=160, fullconv="pallas")(
+        jnp.asarray(strip), starts))
+    np.testing.assert_array_equal(xla, pls)
