@@ -54,7 +54,7 @@ _U16 = 65535.0  # wire quantization: page up + prob map down ride as u16
 # detection-equality test, tests/test_omr.py; 16 = strict default).
 # Round 5 closes the download side (VERDICT r4 next #6): the blended map
 # codes rANS-encode ON DEVICE against a STATIC frequency table trained
-# offline on map content (assets/omr_map_freqs.npy, ops/rans.py
+# offline on map content (assets/omr_map_wire.npz, ops/rans.py
 # rans_encode_device) — static tables remove the histogram and word-count
 # round trips that made a device-built-table design a wash in round 4.
 # The payload downloads as ONE fixed-capacity buffer carrying its own

@@ -102,4 +102,54 @@ int64_t asr_rans_encode_batch(const uint8_t* data, const uint16_t* freqs,
   }
   return 0;
 }
+
+// Scalar decoder (round 5) — the host side of the map-DOWNLOAD wire
+// (device encodes in-graph, ops/rans.rans_encode_device; the host decode
+// of a ~1 Mpx page costs ~49 ms in numpy vs ~3 ms here). MUST stay
+// bit-identical to rans.rans_decode_host: same slot->symbol table, same
+// (step-ascending, lane-ascending) word consumption, same out-of-words
+// clamping (a truncated payload re-reads the last word, never OOB).
+// Pinned by tests/test_rans.py::test_native_decoder_matches_numpy.
+//
+// freqs  [256]   quantized frequencies summing to 1 << kProbBits
+// states [S]     final encoder states
+// words  [n_words]
+// out    [n]     decoded bytes
+int64_t asr_rans_decode(const uint16_t* freqs, const uint32_t* states,
+                        const uint16_t* words, int64_t n_words, int64_t S,
+                        int64_t n, uint8_t* out) {
+  constexpr uint32_t kProbScale = 1u << kProbBits;
+  uint32_t cum[256];
+  uint8_t sym_of[kProbScale];
+  uint32_t c = 0;
+  for (int i = 0; i < 256; ++i) {
+    cum[i] = c;
+    const uint32_t e = c + freqs[i];
+    for (uint32_t slot = c; slot < e; ++slot) sym_of[slot] = (uint8_t)i;
+    c = e;
+  }
+  const int64_t K = (n + S - 1) / S;
+  std::vector<uint32_t> x(states, states + S);
+  int64_t idx = 0;
+  const uint16_t zero = 0;
+  for (int64_t t = 0; t < K; ++t) {
+    const int64_t base = t * S;
+    for (int64_t s = 0; s < S; ++s) {
+      uint32_t xs = x[s];
+      const uint32_t slot = xs & (kProbScale - 1);
+      const uint32_t sym = sym_of[slot];
+      const int64_t i = base + s;
+      if (i < n) out[i] = (uint8_t)sym;
+      xs = freqs[sym] * (xs >> kProbBits) + slot - cum[sym];
+      if (xs < kRansL) {
+        const uint16_t w = n_words > 0
+            ? words[idx < n_words ? idx : n_words - 1] : zero;
+        ++idx;
+        xs = (xs << 16) | w;
+      }
+      x[s] = xs;
+    }
+  }
+  return 0;
+}
 }  // extern "C"

@@ -349,3 +349,34 @@ def test_device_encoder_overflow_reports_true_count():
     assert int(nw) == w_h.size > 64
     assert np.asarray(w_d).shape == (64,)
     np.testing.assert_array_equal(np.asarray(w_d), w_h[:64])
+
+
+def test_native_decoder_matches_numpy():
+    """The native scalar decoder (host side of the map-download wire) must
+    reproduce the numpy reference bit-for-bit, truncated payloads and
+    zero-word payloads included."""
+    lib = rans._native_lib()
+    if lib is None or not hasattr(lib, "asr_rans_decode"):
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(17)
+    for n, S in [(50_000, 512), (777, 256), (64, 64)]:
+        data = _skewed_bytes(rng, n)
+        freqs, states, words = rans.rans_encode(data, S)
+        got = rans.rans_decode_host(freqs, states, words, n)
+        ref = rans._rans_decode_host_numpy(freqs, states, words, n)
+        np.testing.assert_array_equal(got, ref)
+        np.testing.assert_array_equal(got, data)
+    # constant input: zero-word payload path
+    const = np.full(500, 7, np.uint8)
+    freqs, states, words = rans.rans_encode(const, 128)
+    np.testing.assert_array_equal(
+        rans.rans_decode_host(freqs, states, words, 500), const)
+    # truncated payload: both decoders clamp to the last word (contained
+    # garbage, no crash)
+    data = _skewed_bytes(rng, 4096)
+    freqs, states, words = rans.rans_encode(data, 256)
+    if words.size > 4:
+        cut = words[:words.size // 2]
+        np.testing.assert_array_equal(
+            rans.rans_decode_host(freqs, states, cut, 4096),
+            rans._rans_decode_host_numpy(freqs, states, cut, 4096))
