@@ -51,30 +51,66 @@ def gather_feature_windows_pallas(q: jnp.ndarray, starts_half: jnp.ndarray,
     wq_even = wq + (wq & 1)
     if wq_even != wq:
         q = jnp.pad(q, ((0, 0), (0, 1), (0, 0)))
-    # [2, H4, Wq/2, C]: parity p column j = original column 2j+p
-    q2 = jnp.stack([q[:, 0::2, :], q[:, 1::2, :]])
+    # Mosaic DMA slicing constraints (each violated by an earlier layout
+    # that failed to lower): the dynamic offset must be a SINGLE start on
+    # the UNTILED outermost dim; sliced lane extents must be multiples of
+    # the 128-lane tile; and sub-32-bit dtypes sublane-pack, which breaks
+    # slice alignment on the middle dim (bf16 failed where f32 lowered).
+    # So the plane is packed as int32 lanes — [2 * Wq/2, X, 128] with
+    # X = H4*Cp*itemsize/4/128, window-major rows (parity p, half-column
+    # j -> row p*Wq/2 + j; original column 2j+p), C padded to the
+    # smallest Cp making X integral (24 -> 32 at the serving geometry,
+    # +33% DMA traffic — still far cheaper than the XLA gather this
+    # replaces), bf16 pairs bitcast into one int32 each. The dense XLA
+    # transpose/pad/reshape/bitcast on either side cost ~2x the output
+    # bytes.
+    half_w = wq_even // 2
+    per_i32 = 4 // q.dtype.itemsize          # elements per int32 lane
+    c_pad = next(cp for cp in range(c, c + 513)
+                 if (h4 * cp) % (128 * per_i32) == 0)
+    q2 = jnp.concatenate([jnp.transpose(q[:, 0::2, :], (1, 0, 2)),
+                          jnp.transpose(q[:, 1::2, :], (1, 0, 2))])
+    q2 = jnp.pad(q2, ((0, 0), (0, 0), (0, c_pad - c)))
+    x_lanes = (h4 * c_pad) // (128 * per_i32)
+    if per_i32 > 1:
+        q2 = jax.lax.bitcast_convert_type(
+            q2.reshape(2 * half_w, -1, per_i32), jnp.int32)
+    else:
+        q2 = jax.lax.bitcast_convert_type(q2, jnp.int32).reshape(
+            2 * half_w, -1)
+    q2 = q2.reshape(2 * half_w, x_lanes, 128)
     lag = min(8, n)
 
     def kernel(starts_ref, q2_ref, out_ref, sems):
-        def dma_for(j):
+        def dma_for(j, k):
             s = starts_ref[j]
+            row0 = (s & 1) * half_w + (s >> 1)
             return pltpu.make_async_copy(
-                q2_ref.at[s & 1, :, pl.ds(s >> 1, n_cols), :],
+                q2_ref.at[pl.ds(row0, n_cols), :, :],
                 out_ref.at[j],
-                sems.at[jax.lax.rem(j, lag)])
+                sems.at[k])
 
-        for j in range(lag):          # prologue: fill the pipeline
-            dma_for(j).start()
+        # batches of `lag` concurrent DMAs, started and awaited within
+        # ONE loop iteration: a cross-iteration start/wait split (the
+        # classic double-buffer shape) deadlocks when the descriptor's
+        # dst slice is dynamic — this form measures within the DMA
+        # latency noise of it and lowers reliably.
+        def body(b, _):
+            for k in range(lag):              # static unroll
+                j = b * lag + k
 
-        def body(j, _):
-            dma_for(j).wait()
-            # slot j % lag is free again only after the wait above
-            @pl.when(j + lag < n)
-            def _():
-                dma_for(j + lag).start()
+                @pl.when(j < n)
+                def _():
+                    dma_for(j, k).start()
+            for k in range(lag):
+                j = b * lag + k
+
+                @pl.when(j < n)
+                def _():
+                    dma_for(j, k).wait()
             return 0
 
-        jax.lax.fori_loop(0, n, body, 0)
+        jax.lax.fori_loop(0, -(-n // lag), body, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -83,12 +119,18 @@ def gather_feature_windows_pallas(q: jnp.ndarray, starts_half: jnp.ndarray,
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
         scratch_shapes=[pltpu.SemaphoreType.DMA((lag,))],
     )
-    return pl.pallas_call(
+    wins = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n, h4, n_cols, c), q.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (n, n_cols, x_lanes, 128), jnp.int32),
         grid_spec=grid_spec,
         interpret=jax.default_backend() == "cpu",
     )(starts_half.astype(jnp.int32), q2)
+    # int32 -> dtype: same-width bitcast keeps the shape, narrower adds a
+    # trailing [per_i32] dim — both reshape to [n, n_cols, h4, c_pad]
+    wins = jax.lax.bitcast_convert_type(wins, q.dtype)
+    wins = wins.reshape(n, n_cols, h4, c_pad)[..., :c]
+    return jnp.transpose(wins, (0, 2, 1, 3))            # [N, H4, n_cols, C]
 
 
 def linspace_starts(total: int, window: int, n: int) -> np.ndarray:
@@ -192,19 +234,21 @@ def _strip_embed_core_fullconv(p, strip, starts, cfg, crop_h: int,
     strip conv sees the true neighboring pixels, so the 2 border columns
     of the 50-column block-2 input differ — embedding cosine >= 0.999.
 
-    MEASURED NEGATIVE RESULT on v5e (scripts/fullconv_probe.py, kept as
-    the evidence artifact for the ceiling analysis): 50.1k emb/s bf16 vs
-    110.5k for the standard half-gather path (f32: 19.5k vs 32.9k). The
+    Measured on v5e (scripts/fullconv_probe.py): with the XLA feature
+    gather (gather="xla") this path LOSES — 50.2k emb/s bf16 vs 110.1k
+    for the standard half-gather path (f32: 19.6k vs 33.7k). The
     eliminated block-1 overlap is only ~0.7 ms of the 3.6 ms bf16 window
-    budget (s2d_probe per-conv times), while gathering 24-channel
-    feature windows moves 3x the bytes of the half-res pixel gather and
-    its transposed middle-axis gather lowers poorly — the redundancy
-    cannot be monetized at this window geometry. Extending the strip
-    computation past block 2 is blocked by pool-grid alignment (serving
-    stride 25 at half-res is not divisible by the stride-4 feature
-    grid). Space-to-depth was likewise measured a wash
-    (scripts/s2d_probe.py), so ~110k emb/s bf16 stands as the practical
-    single-chip ceiling for this encoder geometry.
+    budget (s2d_probe per-conv times) while the transposed middle-axis
+    feature gather lowers pathologically. gather="pallas"
+    (gather_feature_windows_pallas: per-window HBM->HBM DMA over
+    parity-split planes, round 5) removes exactly that lowering cost and
+    flips the arm into the NEW SINGLE-CHIP CEILING: 115.7k emb/s bf16
+    (+5% over standard) and 43.2k f32 (+28%) — confirming the round-3
+    loss was pure gather lowering, not the redundancy analysis.
+    Extending the strip computation past block 2 remains blocked by
+    pool-grid alignment (serving stride 25 at half-res is not divisible
+    by the stride-4 feature grid); space-to-depth was likewise measured
+    a wash (scripts/s2d_probe.py).
     """
     from audio_sheet_retrieval_tpu.models import cca_model
     from audio_sheet_retrieval_tpu.models import encoder as enc

@@ -718,13 +718,16 @@ def main():
     if dtype == "float32":
         ceiling_bf16 = measure_ceiling(cfg_bf16, gather_half=True)
         ceiling_fc = measure_ceiling(cfg_bf16, fullconv=True)
+        ceiling_fcp = measure_ceiling(cfg_bf16, fullconv="pallas")
     else:
         ceiling_bf16 = ceiling
         ceiling_fc = measure_ceiling(cfg, fullconv=True)
+        ceiling_fcp = measure_ceiling(cfg, fullconv="pallas")
     log(f"device-resident sheet ceiling: {ceiling:,.0f} emb/s "
         f"({dtype}-{precision}); bf16 serving mode: {ceiling_bf16:,.0f} "
         f"emb/s; bf16 fullconv (strip-level block 1): "
-        f"{ceiling_fc:,.0f} emb/s")
+        f"{ceiling_fc:,.0f} emb/s; fullconv+pallas DMA gather: "
+        f"{ceiling_fcp:,.0f} emb/s")
 
     # --- roofline/MFU accounting (VERDICT r4 weak #1): analytic model
     # FLOPs per embedding/update from the known conv geometry
@@ -989,6 +992,8 @@ def main():
             "device_resident_sheet_emb_per_s_bf16": round(ceiling_bf16, 1),
             "device_resident_sheet_emb_per_s_bf16_fullconv": round(
                 ceiling_fc, 1),
+            "device_resident_sheet_emb_per_s_bf16_fullconv_pallas": round(
+                ceiling_fcp, 1),
             "piece_id_query_p50_ms": round(p50, 2),
             "piece_id_query_p50_ms_raw_audio": round(p50_raw, 2),
             "piece_id_query_p50_ms_bf16": round(p50_bf16, 2),
