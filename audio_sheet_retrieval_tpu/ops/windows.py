@@ -443,7 +443,13 @@ def rle_bitmap_decode_device(bitmap: jnp.ndarray, values: jnp.ndarray,
 
 
 RLE_BLOCK = 512  # pixels per blocked-decode tile (one row-major span)
-RLE_BLOCK_KS = (32, 64, 128, 256)  # static local-run buckets (jit keys)
+# static local-run buckets (jit keys). A RLE_BLOCK-px tile can span at
+# most RLE_BLOCK runs, so the 512 bucket makes the blocked decode
+# universal — no payload ever falls back to the serial per-pixel gather.
+# 384 exists because real dense engraving lands there at the LEVEL-2
+# bitmap (bench corpus: k2 = 379 while the pixel level fits 256; without
+# it the whole plan fell back to the gather decode).
+RLE_BLOCK_KS = (32, 64, 128, 256, 384, 512)
 
 
 def rle_bitmap_decode_device_blocked(bitmap: jnp.ndarray,
@@ -462,9 +468,18 @@ def rle_bitmap_decode_device_blocked(bitmap: jnp.ndarray,
     over VPU-friendly [tiles, RLE_BLOCK] planes — no random gather at all.
 
     ``k`` must bound the number of runs any tile spans; compute it host-
-    side with rle2_block_plan (which falls back to the plain decode when
-    no bucket fits). Bit-identical to rle_bitmap_decode_device for any
-    sufficient k (tests/test_windows.py).
+    side with rle2_block_plan. Bit-identical to rle_bitmap_decode_device
+    for any sufficient k (tests/test_windows.py).
+
+    The per-tile run table is NOT gathered: a [tiles, k] window gather
+    from the values array measured 13.4 ms/piece at bench strip scale —
+    XLA lowers even contiguous-slice gathers near-serially (sliced
+    lax.gather form: still 8.4 ms). Instead the values are laid out as a
+    DENSE strided grid (rows of ``s`` values, window k+s built from
+    k/s+1 static shifted slices — no gather) and each tile selects its
+    grid row by a one-hot bf16 MATMUL on the MXU: 1.2 ms/piece, 11x.
+    Exact: one nonzero per one-hot row, u8 values are exact in bf16,
+    accumulation forced f32.
     """
     n = h * w
     blk = RLE_BLOCK
@@ -475,9 +490,20 @@ def rle_bitmap_decode_device_blocked(bitmap: jnp.ndarray,
     run_p = jnp.pad(run_of, (0, n_tiles * blk - n))
     r2d = run_p.reshape(n_tiles, blk)
     base = r2d[:, 0]
-    local = r2d - base[:, None]              # in [0, k) for real pixels
-    vpad = jnp.pad(values, (0, k))
-    tab = gather_windows(vpad[None, :], base, k)[:, 0, :]  # [tiles, k] u8
+    s = min(128, k)                          # grid row stride
+    width = k + s                            # covers local offsets < k+s-1
+    g_of = base // s
+    local = r2d - (g_of * s)[:, None]        # in [0, width) for real px
+    r_pad = values.shape[0]
+    n_rows = -(-r_pad // s)                  # ceil: every g_of < n_rows
+    r_rows = width // s
+    vp = jnp.pad(values, (0, (n_rows + r_rows) * s - r_pad))
+    w2 = vp.reshape(n_rows + r_rows, s)
+    grid = jnp.concatenate([w2[i:i + n_rows] for i in range(r_rows)],
+                           axis=1)           # [n_rows, width], no gather
+    oh = (g_of[:, None] == jnp.arange(n_rows)[None, :]).astype(jnp.bfloat16)
+    tab = jnp.dot(oh, grid.astype(jnp.bfloat16),
+                  preferred_element_type=jnp.float32).astype(jnp.uint8)
 
     def body(acc, kk):
         acc = acc + jnp.where(local == kk, tab[:, kk][:, None],
@@ -485,7 +511,7 @@ def rle_bitmap_decode_device_blocked(bitmap: jnp.ndarray,
         return acc, None
 
     acc, _ = jax.lax.scan(body, jnp.zeros_like(local, dtype=jnp.uint8),
-                          jnp.arange(k, dtype=jnp.int32))
+                          jnp.arange(width, dtype=jnp.int32))
     return acc.reshape(-1)[:n].reshape(h, w)
 
 
@@ -504,6 +530,9 @@ def rle2_block_plan(bm2: np.ndarray, vals2: np.ndarray, values: np.ndarray,
     (k1, k2) buckets that make the blocked decode exact for this strip —
     or None when some tile spans more runs than the largest bucket (the
     caller then uses the plain gather decode; lossless either way).
+    With the default buckets None cannot happen: the ladder ends at
+    512 = RLE_BLOCK and a tile can never span more runs than its pixel
+    count, so every payload gets a blocked plan.
 
     Works from the WIRE alone so sharded ingest (parallel/gallery.py) can
     plan without the original pixels. Cost: one numpy expand of the

@@ -21,13 +21,19 @@ import numpy as np
 
 
 def build_piece_gallery(params, cfg, images: Sequence[np.ndarray], *,
-                        coords: Sequence[np.ndarray] = None):
+                        coords: Sequence[np.ndarray] = None,
+                        fullconv=False):
     """Embed every piece strip into one device-resident gallery (the
     serving DB build). Returns a DeviceGallery with per-window piece ids.
     Split out of :func:`piece_id_accuracy` so sweeps that vary only the
     QUERY knobs (excerpts_per_query, spec quantization) amortize the
     gallery build (scripts/accuracy_sweep.py runs 30 cells over 6
-    galleries)."""
+    galleries).
+
+    ``fullconv``: route the strip embeds through the strip-level block-1
+    fast path (True = XLA feature gather, "pallas" = DMA gather — the
+    round-5 serving ceiling, ops/windows.py); lets sweeps gate that
+    arm's accuracy against the exact per-window build."""
     import jax.numpy as jnp
 
     from audio_sheet_retrieval_tpu.ops import windows as win
@@ -45,7 +51,8 @@ def build_piece_gallery(params, cfg, images: Sequence[np.ndarray], *,
                        for im in images]
     n_starts = [len(s) for s in starts_list]
     ns_max = max(n_starts)
-    embed = win.make_strip_embedder(params, cfg, center_crop=160)
+    embed = win.make_strip_embedder(params, cfg, center_crop=160,
+                                    fullconv=fullconv)
     codes, ids = [], []
     for p, im in enumerate(images):
         padded = np.full((im.shape[0], w_max), 255, np.uint8)

@@ -48,11 +48,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-# (compute_dtype, conv_precision) -> wire arms (spec quantize bits)
+# (compute_dtype, conv_precision, wire arms (spec quantize bits),
+#  gallery-build kwargs)
 LADDER = [
-    ("f32-highest", "float32", "highest", (16,)),
-    ("f32-high", "float32", "high", (16, 8)),
-    ("bf16", "bfloat16", "default", (16, 8)),
+    ("f32-highest", "float32", "highest", (16,), {}),
+    ("f32-high", "float32", "high", (16, 8), {}),
+    ("bf16", "bfloat16", "default", (16, 8), {}),
+    # round-5 serving-ceiling arm: the DB build runs the strip-level
+    # block-1 fullconv with the Pallas DMA feature gather (queries are
+    # audio-side and unchanged) — gated against the per-window bf16
+    # build below
+    ("bf16-fcp", "bfloat16", "default", (16,), {"fullconv": "pallas"}),
 ]
 # (excerpts_per_query, queries_per_piece)
 DIFFICULTY = [(100, 1), (25, 2), (5, 3)]
@@ -65,6 +71,8 @@ COMPARISONS = [
     ("bf16+u16", "f32-highest+u16", "bfloat16 vs f32 strict parity"),
     ("f32-high+u8", "f32-high+u16", "spec u8 vs u16 wire (f32-high)"),
     ("bf16+u8", "bf16+u16", "spec u8 vs u16 wire (bf16)"),
+    ("bf16-fcp+u16", "bf16+u16",
+     "fullconv+Pallas-DMA gallery build vs per-window (bf16)"),
 ]
 
 
@@ -99,9 +107,18 @@ def main(argv=None):
     p.add_argument("--seeds", default="31",
                    help="comma-separated corpus seeds; deltas/McNemar "
                         "pool across all of them")
+    p.add_argument("--only", default=None,
+                   help="comma-separated arm bases (e.g. 'bf16,bf16-fcp') "
+                        "to run a targeted paired comparison without "
+                        "re-sweeping the whole ladder")
+    p.add_argument("--modes", default=",".join(MODES),
+                   help="gallery constructions to run (onset and/or "
+                        "stride; stride cells are diagnostic-only)")
     p.add_argument("--out", default=None, help="JSON dump path")
     args = p.parse_args(argv)
     seeds = [int(s) for s in str(args.seeds).split(",") if s != ""]
+    only = (set(args.only.split(",")) if args.only else None)
+    modes = [m for m in str(args.modes).split(",") if m in MODES]
 
     from audio_sheet_retrieval_tpu import assets
     from audio_sheet_retrieval_tpu.data import synthetic
@@ -138,14 +155,16 @@ def main(argv=None):
               f"({dict(Counter(kinds))}), {args.n_onsets} onsets each",
               file=sys.stderr)
 
-        for base, dtype, prec, qbits_arms in LADDER:
+        for base, dtype, prec, qbits_arms, gal_kw in LADDER:
+            if only is not None and base not in only:
+                continue
             cfg = dataclasses.replace(cfg0, compute_dtype=dtype,
                                       conv_precision=prec)
-            for mode in MODES:
+            for mode in modes:
                 t0 = time.time()
                 gallery = build_piece_gallery(
                     params, cfg, images,
-                    coords=coords if mode == "onset" else None)
+                    coords=coords if mode == "onset" else None, **gal_kw)
                 print(f"  {base:12s} {mode:6s}: gallery "
                       f"{gallery.n} rows ({time.time() - t0:.0f}s)",
                       file=sys.stderr)

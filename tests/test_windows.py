@@ -544,17 +544,27 @@ def test_rle2_blocked_decode_bit_identical_and_planned():
             jnp.asarray(bm2), jnp.asarray(v2), jnp.asarray(v1), *s.shape,
             block_k=plan))
         np.testing.assert_array_equal(out, s)
-        # any larger bucket pair is also exact
+        # any larger bucket pair is also exact (next bucket up, capped at
+        # the universal 512 = RLE_BLOCK bucket)
+        bigger = tuple(min(2 * k, 512) for k in plan)
         out2 = np.asarray(windows.rle_bitmap2_decode_device(
             jnp.asarray(bm2), jnp.asarray(v2), jnp.asarray(v1), *s.shape,
-            block_k=(256, 256)))
+            block_k=bigger))
         np.testing.assert_array_equal(out2, s)
 
-    # adversarial: alternating pixels -> a 512-px tile spans 512 runs,
-    # beyond the largest bucket -> the plan must refuse
+    # adversarial: alternating pixels -> a 512-px tile spans 512 runs.
+    # Since round 5 the bucket ladder ends at 512 = RLE_BLOCK (a tile can
+    # never span more runs than its pixel count), so even this worst case
+    # gets a plan and decodes exactly — no payload falls back to the
+    # serial per-pixel gather anymore.
     adv = np.tile(np.array([[0, 255]], np.uint8), (2, 512))
     bm2, v2, v1 = windows.rle_bitmap2_encode_strip(adv)
-    assert windows.rle2_block_plan(bm2, v2, v1, adv.size) is None
+    plan = windows.rle2_block_plan(bm2, v2, v1, adv.size)
+    assert plan is not None and plan[0] == 512
+    out = np.asarray(windows.rle_bitmap2_decode_device(
+        jnp.asarray(bm2), jnp.asarray(v2), jnp.asarray(v1), *adv.shape,
+        block_k=plan))
+    np.testing.assert_array_equal(out, adv)
 
     # corpus plan = per-level max over pieces; None poisons the corpus
     encs = [windows.rle_bitmap2_encode_strip(c) for c in cases[:2]]
